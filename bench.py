@@ -1,0 +1,155 @@
+"""Benchmark entry point (run by the round driver on real TPU hardware).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric: occupancy-grid NeRF training throughput in rays/s on a synthetic
+blob scene (4096 rays/step, grid 128^3, K=128 sample budget — the instant-ngp
+`-O` configuration).  Baseline: the reference's V100 number, 97 it/s at 4096
+rays/iter = 397,312 rays/s (readme.md:211, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tngp.data import make_synthetic_dataset, sample_rays  # noqa: E402
+from tngp.models import NGPNetwork  # noqa: E402
+from tngp.render import (  # noqa: E402
+    FieldFns,
+    RenderConfig,
+    create,
+    mark_untrained_grid,
+    render_rays_train,
+    update_density_grid,
+)
+
+BASELINE_RAYS_PER_S = 97 * 4096  # V100 reference
+N_RAYS = 4096
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "synth_bench.npz")
+
+
+def get_dataset():
+    if os.path.exists(CACHE):
+        z = np.load(CACHE)
+        from tngp.data.provider import NeRFDataset
+
+        return NeRFDataset(
+            poses=z["poses"], intrinsics=z["intrinsics"], H=int(z["H"]), W=int(z["W"]),
+            images=z["images"],
+        )
+    ds = make_synthetic_dataset(n_frames=12, H=128, W=128, seed=0)
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    np.savez_compressed(
+        CACHE, poses=ds.poses, intrinsics=ds.intrinsics, H=ds.H, W=ds.W, images=ds.images
+    )
+    return ds
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.time()
+    ds = get_dataset()
+    log(f"dataset ready {time.time()-t_start:.1f}s")
+    model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / np.sqrt(3))
+    field = FieldFns.from_model(model)
+    cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128, min_near=0.05)
+
+    grid = create(cfg.cascades, cfg.grid_size)
+    grid = mark_untrained_grid(
+        grid, jnp.asarray(ds.poses), jnp.asarray(ds.intrinsics),
+        bound=cfg.bound, grid_size=cfg.grid_size,
+    )
+
+    poses = jnp.asarray(ds.poses)
+    images = jnp.asarray(ds.images)
+    intr = jnp.asarray(ds.intrinsics)
+    H, W, nF = ds.H, ds.W, ds.poses.shape[0]
+
+    tx = optax.adam(1e-2, b1=0.9, b2=0.99, eps=1e-15)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, k, bitfield):
+        k1, k2, k3 = jax.random.split(k, 3)
+        idx = jax.random.randint(k1, (), 0, nF)
+        r = sample_rays(k2, poses[idx], intr, H, W, N_RAYS)
+        gt = images[idx].reshape(-1, 3)[r["inds"]]
+        out = render_rays_train(field, p, r["rays_o"], r["rays_d"], bitfield, cfg, key=k3)
+        return jnp.mean((out["image"] - gt) ** 2)
+
+    @jax.jit
+    def train_step(p, o, k, bitfield):
+        l, g = jax.value_and_grad(loss_fn)(p, k, bitfield)
+        upd, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, upd), o2, l
+
+    def grid_update(g, p, k, full):
+        return update_density_grid(
+            g, p, k, density_fn=field.density, bound=cfg.bound,
+            grid_size=cfg.grid_size, density_thresh=cfg.density_thresh, full=full,
+        )
+
+    log(f"grid marked {time.time()-t_start:.1f}s")
+
+    # warmup: compile everything + densify grid so the workload is realistic
+    k = jax.random.PRNGKey(1)
+    for step in range(48):
+        if step % 16 == 0:
+            k, kk = jax.random.split(k)
+            grid = grid_update(grid, params, kk, full=True)
+            jax.block_until_ready(grid.bitfield)
+            if step == 0:
+                log(f"grid update compiled {time.time()-t_start:.1f}s")
+        k, kk = jax.random.split(k)
+        params, opt_state, loss = train_step(params, opt_state, kk, grid.bitfield)
+        if step == 0:
+            jax.block_until_ready(loss)
+            log(f"train step compiled {time.time()-t_start:.1f}s")
+    jax.block_until_ready(loss)
+    log(f"warmup done {time.time()-t_start:.1f}s")
+
+    # timed: 100 steps + periodic partial grid updates (the steady-state loop)
+    t0 = time.time()
+    n_timed = 100
+    for step in range(n_timed):
+        if step % 16 == 0:
+            k, kk = jax.random.split(k)
+            grid = grid_update(grid, params, kk, full=False)
+        k, kk = jax.random.split(k)
+        params, opt_state, loss = train_step(params, opt_state, kk, grid.bitfield)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    it_s = n_timed / dt
+    rays_s = it_s * N_RAYS
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_s",
+                "value": round(rays_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_s / BASELINE_RAYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""D-NeRF trainer end-to-end on a tiny dynamic synthetic scene (CPU)."""
+
+import numpy as np
+
+from tngp.data.synthetic import make_synthetic_dynamic_dataset
+from tngp.models import DNeRFNetwork
+from tngp.render import RenderConfig
+from tngp.train.dnerf_trainer import DNeRFTrainer
+from tngp.utils.config import TrainConfig
+
+
+def test_dnerf_trainer_end_to_end(tmp_path):
+    ds = make_synthetic_dynamic_dataset(n_frames=4, H=32, W=32, num_steps=96)
+    model = DNeRFNetwork(bound=1.0)
+    cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=96, K=48, K_eval=32,
+                       min_near=0.05)
+    tc = TrainConfig(name="dnerf", workspace=str(tmp_path), iters=100,
+                     num_rays=256, steps_per_epoch=15, use_checkpoint="scratch")
+    tr = DNeRFTrainer(model, ds, cfg, tc, time_size=4, update_interval=8)
+    l0 = tr.train_one_epoch(15)
+    tr.epoch += 1
+    l1 = tr.train_one_epoch(15)
+    assert np.isfinite(l1)
+    assert l1 < l0 * 1.5  # noisy, but must not blow up
+
+    img, dep = tr.render_image(ds.poses[0], time=float(ds.times[0]))
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()

@@ -1,0 +1,126 @@
+"""Renderer integration: analytic field rendered via the grid train path, the
+iterative eval path, and the uniform path must all agree; NGP model smoke.
+
+Field functions use the channels-first convention ([3, B] points)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tngp.models import NGPNetwork
+from tngp.ops import packbits
+from tngp.render import (
+    FieldFns,
+    RenderConfig,
+    render_rays_eval,
+    render_rays_train,
+    render_rays_uniform,
+)
+
+
+def analytic_field():
+    """Gaussian density blob at origin, position-dependent color."""
+
+    def density(params, x_cf):
+        r2 = jnp.sum(x_cf**2, axis=0)
+        return 40.0 * jnp.exp(-r2 / (2 * 0.3**2))
+
+    def sigma_rgb(params, x_cf, d_cf):
+        sig = density(params, x_cf)
+        rgb_cf = jax.nn.sigmoid(x_cf * 2.0)
+        return sig, rgb_cf
+
+    return FieldFns(sigma_rgb=sigma_rgb, density=density)
+
+
+def make_rays(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    o = np.array([0.0, 0.0, -2.5]) + rng.normal(0, 0.05, size=(n, 3))
+    target = rng.uniform(-0.3, 0.3, size=(n, 3))
+    d = target - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def full_bitfield(cfg):
+    H3 = cfg.cascades * cfg.grid_size**3
+    return packbits(jnp.ones((H3,), jnp.float32), 0.5)
+
+
+def test_grid_train_vs_uniform_paths_agree():
+    cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=256, K=256, K_eval=64,
+                       min_near=0.05)
+    field = analytic_field()
+    o, d = make_rays(48)
+    bf = full_bitfield(cfg)
+    out_train = render_rays_train(field, None, o, d, bf, cfg)
+    out_eval = render_rays_eval(field, None, o, d, bf, cfg)
+    out_unif = render_rays_uniform(field, None, o, d, cfg, num_steps=512, upsample_steps=0)
+
+    img_t = np.asarray(out_train["image"])
+    img_e = np.asarray(out_eval["image"])
+    img_u = np.asarray(out_unif["image"])
+    assert np.isfinite(img_t).all()
+    # discretization differs; agreement should be close
+    np.testing.assert_allclose(img_t, img_e, atol=0.02)
+    np.testing.assert_allclose(img_t, img_u, atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(out_train["weights_sum"]), np.asarray(out_eval["weights_sum"]), atol=0.02
+    )
+
+
+def test_empty_bitfield_renders_background():
+    cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=128, K=32, min_near=0.05)
+    field = analytic_field()
+    o, d = make_rays(8)
+    bf = jnp.zeros((cfg.cascades * cfg.grid_size**3 // 8,), jnp.uint8)
+    out = render_rays_train(field, None, o, d, bf, cfg, bg_color=jnp.asarray([1.0, 0.5, 0.25]))
+    img = np.asarray(out["image"])
+    np.testing.assert_allclose(img, np.tile([1.0, 0.5, 0.25], (8, 1)), atol=1e-5)
+    assert np.asarray(out["weights_sum"]).max() == 0.0
+
+
+def test_ngp_model_smoke_and_render():
+    model = NGPNetwork(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (32, 3), minval=-1, maxval=1)
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    params = model.init(key, x, d)
+    sigma, rgb = model.apply(params, x, d)
+    assert sigma.shape == (32,) and rgb.shape == (32, 3)
+    assert np.isfinite(np.asarray(sigma)).all()
+    out = model.apply(params, x, method=NGPNetwork.density)
+    assert out["sigma"].shape == (32,) and out["geo_feat"].shape == (32, 15)
+
+    # batch-first and channels-first paths must agree exactly
+    sigma_cf, rgb_cf = model.apply(params, x.T, d.T, method=NGPNetwork.sigma_rgb_cf)
+    np.testing.assert_allclose(np.asarray(sigma_cf), np.asarray(sigma), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb_cf.T), np.asarray(rgb), rtol=1e-6)
+
+    field = FieldFns.from_model(model)
+    cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=64, K=32, min_near=0.05)
+    o, dirs = make_rays(16)
+    bf = full_bitfield(cfg)
+    out = render_rays_train(field, params, o, dirs, bf, cfg, key=key)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_grad_flows_through_render():
+    model = NGPNetwork(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((4, 3))
+    d = jnp.ones((4, 3)) / np.sqrt(3)
+    params = model.init(key, x, d)
+    field = FieldFns.from_model(model)
+    cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=64, K=32, min_near=0.05)
+    o, dirs = make_rays(16)
+    bf = full_bitfield(cfg)
+
+    def loss_fn(p):
+        out = render_rays_train(field, p, o, dirs, bf, cfg)
+        return jnp.mean((out["image"] - 0.5) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

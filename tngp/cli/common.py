@@ -1,0 +1,97 @@
+"""Shared CLI plumbing: flag parity with the reference mains.
+
+Behavioral reference: `main_nerf.py:6-119` flag set; `-O` = fp16(bf16 here) +
+cuda_ray(grid path, the default here) + preload (always on — data lives in HBM).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..render import RenderConfig
+from ..utils.config import TrainConfig
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("path", type=str, help="dataset root (or 'synthetic')")
+    p.add_argument("-O", action="store_true",
+                   help="recommended settings: bf16 + occupancy grid (+preload, always on)")
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test", action="store_true")
+    # training
+    p.add_argument("--iters", type=int, default=30000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--num_rays", type=int, default=4096)
+    p.add_argument("--max_steps", type=int, default=512,
+                   help="ladder rungs per ray (reference used 1024 CUDA steps)")
+    p.add_argument("--num_steps", type=int, default=128, help="uniform-path coarse steps")
+    p.add_argument("--upsample_steps", type=int, default=128, help="uniform-path fine steps")
+    p.add_argument("--update_extra_interval", type=int, default=16)
+    p.add_argument("--max_ray_batch", type=int, default=4096)
+    p.add_argument("--patch_size", type=int, default=1)
+    p.add_argument("--sample_budget", type=int, default=128,
+                   help="K: per-ray sample budget (replaces mean_count)")
+    # model
+    p.add_argument("--fp16", action="store_true", help="bf16 mixed precision on TPU")
+    # dataset
+    p.add_argument("--color_space", type=str, default="srgb")
+    p.add_argument("--preload", action="store_true", help="always on (TPU HBM resident)")
+    p.add_argument("--bound", type=float, default=2.0)
+    p.add_argument("--scale", type=float, default=0.33)
+    p.add_argument("--offset", type=float, nargs=3, default=[0, 0, 0])
+    p.add_argument("--dt_gamma", type=float, default=1 / 128)
+    p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--density_thresh", type=float, default=10.0)
+    p.add_argument("--bg_radius", type=float, default=-1.0)
+    p.add_argument("--downscale", type=int, default=1)
+    # experimental
+    p.add_argument("--error_map", action="store_true")
+    p.add_argument("--rand_pose", type=int, default=-1)
+    p.add_argument("--eval_interval", type=int, default=50)
+    return p
+
+
+def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
+    cfg = RenderConfig.from_bound(
+        opt.bound,
+        min_near=opt.min_near,
+        dt_gamma=opt.dt_gamma,
+        max_steps=opt.max_steps,
+        K=opt.sample_budget,
+        density_thresh=opt.density_thresh,
+        bg_radius=opt.bg_radius,
+    )
+    tc = TrainConfig(
+        workspace=opt.workspace,
+        seed=opt.seed,
+        iters=opt.iters,
+        lr=opt.lr,
+        num_rays=opt.num_rays,
+        eval_interval=opt.eval_interval,
+        update_extra_interval=opt.update_extra_interval,
+        error_map=opt.error_map,
+        patch_size=opt.patch_size,
+        color_space=opt.color_space,
+        bf16=bool(opt.fp16 or opt.O),
+        use_checkpoint=opt.ckpt,
+    )
+    return cfg, tc
+
+
+def load_dataset(opt, split: str, with_time: bool = False):
+    from ..data.provider import NeRFDataset
+
+    if opt.path == "synthetic":
+        if with_time:
+            from ..data.synthetic import make_synthetic_dynamic_dataset
+
+            return make_synthetic_dynamic_dataset(n_frames=16, H=128, W=128)
+        from ..data.synthetic import make_synthetic_dataset
+
+        return make_synthetic_dataset(n_frames=16, H=128, W=128)
+    return NeRFDataset.load(
+        opt.path, split=split, downscale=opt.downscale, scale=opt.scale,
+        offset=tuple(opt.offset), use_error_map=opt.error_map, with_time=with_time,
+    )

@@ -1,0 +1,59 @@
+"""D-NeRF entry point (reference: main_dnerf.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    from .common import add_common_args, build_configs, load_dataset
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--time_size", type=int, default=64)
+    p.add_argument("--deform_reg", type=float, default=1e-3)
+    p.add_argument("--basis", action="store_true",
+                   help="temporal-basis variant (not yet ported)")
+    p.add_argument("--hyper", action="store_true",
+                   help="ambient-dim variant (not yet ported)")
+    opt = p.parse_args(argv)
+    if opt.basis or opt.hyper:
+        raise NotImplementedError(
+            "D-NeRF --basis/--hyper variants are not ported yet; the default "
+            "deformation-field model is available."
+        )
+
+    import jax.numpy as jnp
+
+    from ..models import DNeRFNetwork
+    from ..train.dnerf_trainer import DNeRFTrainer
+
+    cfg, tc = build_configs(opt)
+    model = DNeRFNetwork(
+        bound=opt.bound, bg_radius=opt.bg_radius,
+        compute_dtype=jnp.bfloat16 if tc.bf16 else jnp.float32,
+    )
+    train_ds = load_dataset(opt, "train", with_time=True)
+    try:
+        valid_ds = load_dataset(opt, "val", with_time=True)
+    except FileNotFoundError:
+        valid_ds = None
+    trainer = DNeRFTrainer(
+        model, train_ds, cfg, tc, valid_dataset=valid_ds,
+        time_size=opt.time_size, deform_reg=opt.deform_reg,
+        update_interval=100,
+    )
+    if opt.test:
+        trainer.test(train_ds.poses)
+        return trainer
+    steps_per_epoch = tc.steps_per_epoch or train_ds.num_frames
+    trainer.train(int(np.ceil(opt.iters / steps_per_epoch)))
+    if valid_ds is not None:
+        trainer.evaluate(valid_ds)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

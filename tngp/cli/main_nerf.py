@@ -1,0 +1,65 @@
+"""Instant-NGP NeRF entry point (reference: main_nerf.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    from .common import add_common_args, build_configs, load_dataset
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--gui", action="store_true", help="launch the web viewer")
+    p.add_argument("--gui_port", type=int, default=7860)
+    opt = p.parse_args(argv)
+
+    from ..models import NGPNetwork
+    from ..train import Trainer
+
+    cfg, tc = build_configs(opt)
+    model = NGPNetwork(
+        bound=opt.bound,
+        bg_radius=opt.bg_radius,
+        compute_dtype=jnp.bfloat16 if tc.bf16 else jnp.float32,
+    )
+
+    if opt.test:
+        test_ds = load_dataset(opt, "test")
+        trainer = Trainer(model, test_ds, cfg, tc)
+        trainer.test(test_ds.poses)
+        trainer.save_mesh(resolution=256, threshold=10.0)
+        return trainer
+
+    train_ds = load_dataset(opt, "train")
+    try:
+        valid_ds = load_dataset(opt, "val")
+    except FileNotFoundError:
+        valid_ds = None
+    trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=valid_ds)
+
+    if opt.gui:
+        from .viewer import run_viewer
+
+        run_viewer(trainer, port=opt.gui_port)
+        return trainer
+
+    steps_per_epoch = tc.steps_per_epoch or train_ds.num_frames
+    max_epochs = int(np.ceil(opt.iters / steps_per_epoch))
+    trainer.train(max_epochs)
+    if valid_ds is not None:
+        trainer.evaluate(valid_ds, write_images=True)
+    try:
+        test_ds = load_dataset(opt, "test")
+        trainer.test(test_ds.poses)
+    except FileNotFoundError:
+        pass
+    trainer.save_mesh(resolution=256, threshold=10.0)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Encoder modules + factory with torch-ngp `get_encoder` parity.
+
+Behavioral reference: `encoding.py:45-103` (name -> encoder mapping and
+default hyperparameters), `gridencoder/grid.py:754` (GridEncoder module),
+`shencoder/sphere_harmonics.py` (SHEncoder), `encoding.py:5-43` (FreqEncoder).
+
+The Minkowski point-cloud encoder family (`hashgrid_minkowski*`, fork-only,
+depends on MinkowskiEngine sparse convolutions) is an explicit non-goal; the
+factory raises with a clear message for those names.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import HashGridSpec, freq_encode, hash_encode, sh_encode
+from ..ops.hashgrid import hash_encode_cf
+from ..ops.sh import sh_encode_cf
+
+
+class GridEncoder(nn.Module):
+    """Multiresolution hash/tiled grid encoder (param table `embeddings`).
+
+    `__call__` is batch-first `[..., D]`; `cf` is the channels-first hot path
+    (`[D, B]` -> `[L*C, B]`, batch on the TPU lane axis).
+    """
+
+    spec: HashGridSpec
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.spec.output_dim
+
+    def setup(self):
+        self.embeddings = self.param(
+            "embeddings", lambda key: self.spec.init_table(key, self.param_dtype)
+        )
+
+    def __call__(self, x: jax.Array, bound: float = 1.0) -> jax.Array:
+        # inputs in [-bound, bound] -> [0, 1] (grid.py:807)
+        x01 = (x + bound) / (2.0 * bound)
+        return hash_encode(x01, self.embeddings, self.spec)
+
+    def cf(self, x_cf: jax.Array, bound: float = 1.0) -> jax.Array:
+        x01 = (x_cf + bound) / (2.0 * bound)
+        return hash_encode_cf(x01, self.embeddings, self.spec)
+
+
+class SHEncoder(nn.Module):
+    degree: int = 4
+
+    @property
+    def output_dim(self) -> int:
+        return self.degree**2
+
+    def __call__(self, d: jax.Array) -> jax.Array:
+        return sh_encode(d, self.degree)
+
+    def cf(self, d_cf: jax.Array) -> jax.Array:
+        return sh_encode_cf(d_cf, self.degree)
+
+
+class FreqEncoder(nn.Module):
+    degree: int = 6  # == multires; bands 2^0 .. 2^(degree-1)
+    input_dim: int = 3
+
+    @property
+    def output_dim(self) -> int:
+        return self.input_dim * (1 + 2 * self.degree)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return freq_encode(x, self.degree)
+
+
+class IdentityEncoder(nn.Module):
+    input_dim: int = 3
+
+    @property
+    def output_dim(self) -> int:
+        return self.input_dim
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x
+
+
+def get_encoder(
+    encoding: str,
+    input_dim: int = 3,
+    multires: int = 6,
+    degree: int = 4,
+    num_levels: int = 16,
+    level_dim: int = 2,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 19,
+    desired_resolution: int = 2048,
+    align_corners: bool = False,
+    interpolation: str = "linear",
+    **kwargs,
+) -> Tuple[nn.Module, int]:
+    """Name -> (module, output_dim), mirroring encoding.py:45-103."""
+    if encoding in (None, "None", "none"):
+        enc = IdentityEncoder(input_dim=input_dim)
+        return enc, input_dim
+    if encoding == "frequency":
+        enc = FreqEncoder(degree=multires, input_dim=input_dim)
+        return enc, enc.output_dim
+    if encoding in ("sphere_harmonics", "spherical_harmonics", "sh"):
+        enc = SHEncoder(degree=degree)
+        return enc, enc.output_dim
+    if encoding in ("hashgrid", "tiledgrid"):
+        spec = HashGridSpec.create(
+            input_dim=input_dim,
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=desired_resolution,
+            gridtype="hash" if encoding == "hashgrid" else "tiled",
+            align_corners=align_corners,
+            interpolation=interpolation,
+        )
+        enc = GridEncoder(spec=spec)
+        return enc, spec.output_dim
+    if "minkowski" in str(encoding) or encoding in ("hashgrid_geo", "ash"):
+        raise NotImplementedError(
+            f"encoder '{encoding}' is a fork-experimental point-cloud encoder "
+            "(MinkowskiEngine-based) and an explicit non-goal of the TPU build; "
+            "see SURVEY.md §7 step 9."
+        )
+    raise ValueError(f"unknown encoding: {encoding}")

@@ -1,0 +1,246 @@
+"""Occupancy-grid ray marching with static shapes — pure jnp, TPU-first.
+
+Behavioral reference: torch-ngp `raymarching/src/raymarching.cu`:
+  kernel_march_rays_train (:311-480), kernel_march_rays (:709-814),
+  mip_from_pos / mip_from_dt (:42-54).
+
+TPU-first design
+----------------
+The CUDA marcher is one thread per ray: a data-dependent while-loop that
+DDA-skips empty voxels and atomically compacts emitted samples into a flat
+`[M, ...]` buffer sized by a running `mean_count` estimate (with silent ray
+drops on overflow).  None of that maps to XLA's static-shape model.
+
+Key observation: the reference's t-advance is the *same ladder* whether a point
+is occupied (emit + step) or empty (DDA-skip = repeatedly step the ladder until
+past the voxel).  So the set of t values it visits is exactly the deterministic
+ladder
+
+    t_{j+1} = t_j + clamp(t_j * dt_gamma, dt_min, dt_max)
+
+which has a closed form (uniform -> geometric -> uniform phases) and can be
+evaluated for all `max_steps` rungs of all rays *in parallel*.  Marching then
+becomes: evaluate ladder -> probe the occupancy bitfield at every rung ->
+compact the first K occupied rungs per ray into a fixed `[N, K]` slab
+(via top_k on monotone keys), with a validity mask.  K plays the role of the
+reference's `mean_count` budget: overflowing samples (not whole rays) are
+dropped, and callers can iterate with `next_t` to resume (the inference-path
+equivalent of the alive-ray loop).
+
+  dt_min = 2*sqrt(3)/max_steps, dt_max = 2*sqrt(3)*2^(C-1)/H (:345-346)
+  cascade level = max(mip_from_pos, mip_from_dt), mip bound = min(2^lvl, bound)
+
+The density bitfield uses *linear* cell order (ix major, iz fastest) rather
+than the CUDA Morton order — see ops/grid_utils.py.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .grid_utils import bitfield_probe
+
+SQRT3 = math.sqrt(3.0)
+
+
+class MarchResult(NamedTuple):
+    # TPU layout: positions/directions are channels-first [3, N, K] so the big
+    # (N*K) extent stays on the dense tile axes (a [N, K, 3] layout pads the
+    # 3-lane minor dim 42x on TPU).
+    xyzs_cf: jax.Array  # [3, N, K] sample positions (clamped to +-bound)
+    dirs_cf: jax.Array  # [3, N, K] ray directions (broadcast)
+    dts: jax.Array  # [N, K] marching dt at each sample
+    gaps: jax.Array  # [N, K] real t advance since previous sample (depth delta)
+    ts: jax.Array  # [N, K] sample t values
+    mask: jax.Array  # [N, K] bool validity
+    counts: jax.Array  # [N] int32 number of occupied rungs found (uncapped)
+    next_t: jax.Array  # [N] resume t for iterative (inference) marching
+
+    @property
+    def xyzs(self) -> jax.Array:  # [N, K, 3] convenience view (test/debug use)
+        return jnp.moveaxis(self.xyzs_cf, 0, -1)
+
+    @property
+    def dirs(self) -> jax.Array:
+        return jnp.moveaxis(self.dirs_cf, 0, -1)
+
+
+def _t_ladder(t0: jax.Array, j: jax.Array, dt_gamma: float, dt_min: float, dt_max: float):
+    """t value at ladder rung j (closed form of the clamp recurrence).
+
+    t0: [N] start t; j: [S] rung indices. Returns [N, S] float32.
+    """
+    t0 = t0[:, None].astype(jnp.float32)
+    jf = j[None, :].astype(jnp.float32)
+    if dt_gamma <= 0.0:
+        return t0 + jf * dt_min
+    a = dt_min / dt_gamma  # below: uniform dt_min
+    b = dt_max / dt_gamma  # above: uniform dt_max
+    g = 1.0 + dt_gamma
+    lg = math.log(g)
+    # phase 1: k uniform steps of dt_min until t >= a
+    n1 = jnp.ceil(jnp.maximum(a - t0, 0.0) / dt_min)
+    tA = t0 + n1 * dt_min
+    # phase 2: geometric until t >= b
+    n2 = jnp.ceil(jnp.maximum(jnp.log(jnp.maximum(b / tA, 1.0)), 0.0) / lg)
+    tB = tA * jnp.exp(n2 * lg)
+    k = jf
+    t_p1 = t0 + k * dt_min
+    t_p2 = tA * jnp.exp((k - n1) * lg)
+    t_p3 = tB + (k - n1 - n2) * dt_max
+    return jnp.where(k < n1, t_p1, jnp.where(k < n1 + n2, t_p2, t_p3))
+
+
+def _float_exponent(x: jax.Array) -> jax.Array:
+    """frexp-style exponent: x = m * 2^e with m in [0.5, 1). Exact via bit ops."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return ((bits >> 23) & 0xFF) - 126
+
+
+def mip_level_from_max(mx: jax.Array, dt: jax.Array, cascades: int, grid_size: int) -> jax.Array:
+    """Cascade selection from max |coord|, raymarching.cu:42-54."""
+    e_pos = jnp.where(mx > 0, _float_exponent(jnp.maximum(mx, 1e-30)), -100)
+    mdt = dt * grid_size * 0.5
+    e_dt = jnp.where(mdt > 0, _float_exponent(jnp.maximum(mdt, 1e-30)), -100)
+    lvl = jnp.maximum(e_pos, e_dt)
+    return jnp.clip(lvl, 0, cascades - 1)
+
+
+def mip_level(xyz: jax.Array, dt: jax.Array, cascades: int, grid_size: int) -> jax.Array:
+    """Batch-first wrapper over mip_level_from_max (xyz `[..., 3]`)."""
+    return mip_level_from_max(jnp.max(jnp.abs(xyz), axis=-1), dt, cascades, grid_size)
+
+
+def grid_cell_index_comp(
+    px: jax.Array, py: jax.Array, pz: jax.Array, level: jax.Array,
+    bound: float, cascades: int, grid_size: int,
+) -> jax.Array:
+    """Linear cell index `level*H^3 + ((ix*H)+iy)*H + iz`, componentwise."""
+    H = grid_size
+    inv_mip_bound = 1.0 / jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+
+    def cell(p):
+        return jnp.clip(0.5 * (p * inv_mip_bound + 1.0) * H, 0.0, float(H - 1)).astype(jnp.int32)
+
+    lin = (cell(px) * H + cell(py)) * H + cell(pz)
+    return level.astype(jnp.int32) * (H**3) + lin
+
+
+def grid_cell_index(
+    xyz: jax.Array, level: jax.Array, bound: float, cascades: int, grid_size: int
+) -> jax.Array:
+    """Batch-first wrapper (xyz `[..., 3]`)."""
+    return grid_cell_index_comp(
+        xyz[..., 0], xyz[..., 1], xyz[..., 2], level, bound, cascades, grid_size
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bound", "cascades", "grid_size", "dt_gamma", "max_steps", "K"),
+)
+def march_rays(
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    t_start: jax.Array,  # [N] start t (nears for training; rays_t when iterating)
+    fars: jax.Array,  # [N]
+    bitfield: jax.Array,  # [cascades * H^3 // 8] uint8, linear cell order
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    K: int = 128,
+    noise: jax.Array | None = None,  # [N] in [0,1), perturb fraction of first dt
+) -> MarchResult:
+    N = rays_o.shape[0]
+    S = max_steps
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    t0 = t_start.astype(jnp.float32)
+    if noise is not None:
+        dt0 = jnp.clip(t0 * dt_gamma, dt_min, dt_max)
+        t0 = t0 + dt0 * noise.astype(jnp.float32)
+
+    j = jnp.arange(S, dtype=jnp.int32)
+    ts = _t_ladder(t0, j, dt_gamma, dt_min, dt_max)  # [N, S]
+    dts = jnp.clip(ts * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else jnp.full_like(ts, dt_min)
+
+    # componentwise positions: [N, S] each (never materialize [N, S, 3])
+    px = jnp.clip(o[:, 0:1] + ts * d[:, 0:1], -bound, bound)
+    py = jnp.clip(o[:, 1:2] + ts * d[:, 1:2], -bound, bound)
+    pz = jnp.clip(o[:, 2:3] + ts * d[:, 2:3], -bound, bound)
+    mx = jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+    lvl = mip_level_from_max(mx, dts, cascades, grid_size)
+    cell = grid_cell_index_comp(px, py, pz, lvl, bound, cascades, grid_size)
+    occ = bitfield_probe(bitfield, cell.reshape(-1)).reshape(N, S)
+
+    in_range = ts < fars.astype(jnp.float32)[:, None]
+    valid = occ & in_range  # [N, S]
+    counts = valid.sum(axis=-1).astype(jnp.int32)
+
+    # Compact the first K (+1 for the resume point) valid rungs per ray via
+    # branch-free binary search on the nondecreasing rank = cumsum(valid):
+    # slot k holds the first s with rank[s] >= k+1.  log2(S) rounds of cheap
+    # [N, K+1] take_along_axis gathers — much friendlier to the TPU compiler
+    # than a top_k/sort network over [N, S].
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)  # [N, S]
+    kk = min(K + 1, S)
+    want = jnp.arange(1, kk + 1, dtype=jnp.int32)[None, :]  # [1, K+1]
+    lo = jnp.zeros((N, kk), jnp.int32)
+    hi = jnp.full((N, kk), S, jnp.int32)
+    for _ in range(max(1, S.bit_length())):  # ceil(log2(S+1)) rounds
+        mid = (lo + hi) >> 1
+        r = jnp.take_along_axis(rank, jnp.minimum(mid, S - 1), axis=1)
+        go_right = r < want
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    found = jnp.minimum(lo, S - 1)  # [N, K+1]
+    valid_slot = counts[:, None] >= want  # slot k valid iff count > k
+    sel_idx = found[:, :K]
+    sel_valid = valid_slot[:, :K]
+
+    t_sel = jnp.take_along_axis(ts, sel_idx, axis=1)
+    dt_sel = jnp.take_along_axis(dts, sel_idx, axis=1)
+    xyz_sel_cf = jnp.stack(
+        [jnp.take_along_axis(p, sel_idx, axis=1) for p in (px, py, pz)], axis=0
+    )  # [3, N, K]
+    maskf = sel_valid
+
+    # gap = (t_i + dt_i) - (t_{i-1} + dt_{i-1}), with t_{-1}+dt_{-1} := t0
+    t_post = t_sel + dt_sel
+    prev = jnp.concatenate([t0[:, None], t_post[:, :-1]], axis=1)
+    gaps = jnp.where(maskf, t_post - prev, 0.0)
+
+    # resume t for the iterative inference loop: the (K+1)-th valid rung if the
+    # budget overflowed, else one rung past the ladder end.
+    ladder_end = ts[:, -1] + dts[:, -1]
+    overflow = counts > K
+    if kk > K:
+        resume_t = jnp.take_along_axis(ts, found[:, K:K + 1], axis=1)[:, 0]
+        next_t = jnp.where(overflow, resume_t, ladder_end)
+    else:
+        next_t = ladder_end
+    next_t = jnp.minimum(next_t, fars.astype(jnp.float32))
+
+    dirs_cf = jnp.broadcast_to(d.T[:, :, None], (3, N, K))
+    zero = jnp.zeros((), jnp.float32)
+    return MarchResult(
+        xyzs_cf=jnp.where(maskf[None, :, :], xyz_sel_cf, zero),
+        dirs_cf=dirs_cf,
+        dts=jnp.where(maskf, dt_sel, zero),
+        gaps=gaps,
+        ts=jnp.where(maskf, t_sel, zero),
+        mask=maskf,
+        counts=counts,
+        next_t=next_t,
+    )

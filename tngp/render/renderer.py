@@ -1,0 +1,313 @@
+"""Volume renderer: occupancy-grid path (train + iterative eval) and the
+uniform/PDF sampling path.
+
+Behavioral reference: torch-ngp `nerf/renderer.py`:
+  run_cuda (:257-426) — the -O hot path: near/far, bg model, march, field
+      query, composite, `image += (1-ws)*bg`,
+      `depth = clamp(depth - nears, 0) / (fars - nears)`
+  run      (:126-254) — uniform `num_steps` sampling + sample_pdf upsampling,
+      vectorized cumprod transmittance
+  render   (:601-629) — dispatcher (staged chunking handled by the caller here)
+
+TPU-first notes
+---------------
+* Training marches once with a static sample budget K (ops/march.py); the
+  CUDA mean_count-driven allocation becomes the static K, tunable per config.
+* Eval replaces the alive-ray compaction loop (renderer.py:376-420) with a
+  `lax.while_loop` over at most ceil(max_steps / K_eval) rounds; every round
+  marches ALL rays from their current `rays_t` (dead rays produce zero valid
+  samples) — no dynamic shapes, wasted lanes instead of compaction.
+* The field is queried on every slab slot including masked-off ones (their
+  sigma contribution is masked in the compositor); this is the static-shape
+  price, minimized by the budget K.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    march_rays,
+    near_far_from_aabb,
+    sample_pdf,
+    sph_from_ray,
+)
+from ..ops.composite import composite_rays_cf, composite_weights
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    bound: float = 1.0
+    cascades: int = 1  # 1 + ceil(log2(bound)) in the reference (renderer.py:84)
+    grid_size: int = 128
+    min_near: float = 0.2
+    density_scale: float = 1.0
+    dt_gamma: float = 0.0
+    max_steps: int = 1024
+    K: int = 128  # train sample budget per ray
+    K_eval: int = 64  # per-round eval budget
+    T_thresh: float = 1e-4
+    bg_radius: float = -1.0
+    density_thresh: float = 10.0  # occupancy threshold (main_nerf.py --density_thresh)
+
+    @staticmethod
+    def from_bound(bound: float, **kw) -> "RenderConfig":
+        import math
+
+        cascades = 1 + max(0, math.ceil(math.log2(bound))) if bound > 1 else 1
+        return RenderConfig(bound=bound, cascades=cascades, **kw)
+
+    @property
+    def aabb(self):
+        b = self.bound
+        return jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+
+
+class FieldFns(NamedTuple):
+    """Functional field interface (the renderer never sees module internals).
+
+    Channels-first (batch minor — the TPU hot-path layout, see ops/hashgrid.py):
+    sigma_rgb: (params, x_cf[3,B], d_cf[3,B]) -> (sigma[B], rgb_cf[3,B])
+    density:   (params, x_cf[3,B]) -> sigma[B]
+    background:(params, sph_cf[2,B], d_cf[3,B]) -> rgb_cf[3,B], or None
+    """
+
+    sigma_rgb: Callable
+    density: Callable
+    background: Optional[Callable] = None
+
+    @staticmethod
+    def from_model(model, method_prefix: str = "") -> "FieldFns":
+        """Build from a flax module exposing sigma_rgb_cf/density_cf[/background_cf]."""
+        bg = None
+        if getattr(model, "bg_radius", -1.0) > 0:
+            bg = lambda p, sph_cf, d_cf: model.apply(
+                p, sph_cf, d_cf, method=type(model).background_cf
+            )
+        return FieldFns(
+            sigma_rgb=lambda p, x_cf, d_cf: model.apply(
+                p, x_cf, d_cf, method=type(model).sigma_rgb_cf
+            ),
+            density=lambda p, x_cf: model.apply(
+                p, x_cf, method=type(model).density_cf
+            )["sigma"],
+            background=bg,
+        )
+
+
+def _resolve_bg(field: FieldFns, params, rays_o, rays_d, cfg: RenderConfig, bg_color):
+    if cfg.bg_radius > 0 and field.background is not None:
+        sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        rgb_cf = field.background(params, sph.T, rays_d.T)
+        return rgb_cf.T  # [N, 3]
+    if bg_color is None:
+        return jnp.ones((), jnp.float32)
+    return bg_color
+
+
+def render_rays_train(
+    field: FieldFns,
+    params,
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    bitfield: jax.Array,
+    cfg: RenderConfig,
+    key: jax.Array | None = None,  # None -> no perturb
+    bg_color=None,  # None -> 1.0, or [N, 3] / [3]
+):
+    """Single-march budgeted training render. Returns dict(image, depth,
+    weights_sum, num_points)."""
+    N = rays_o.shape[0]
+    nears, fars = near_far_from_aabb(rays_o, rays_d, cfg.aabb, cfg.min_near)
+    bg = _resolve_bg(field, params, rays_o, rays_d, cfg, bg_color)
+
+    noise = None
+    if key is not None:
+        noise = jax.random.uniform(key, (N,))
+    res = march_rays(
+        rays_o, rays_d, nears, fars, bitfield,
+        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=cfg.K, noise=noise,
+    )
+
+    out = field.sigma_rgb(
+        params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
+    )
+    # optional aux dict of [B]-shaped per-sample scalars (e.g. |deform| for the
+    # D-NeRF regularizer) as a third return value
+    aux = None
+    if len(out) == 3:
+        sigmas, rgbs_cf, aux = out
+    else:
+        sigmas, rgbs_cf = out
+    sigmas = (sigmas.reshape(N, cfg.K).astype(jnp.float32)) * cfg.density_scale
+    rgbs_cf = rgbs_cf.reshape(3, N, cfg.K)
+
+    ws, depth, image, _ = composite_rays_cf(
+        sigmas, rgbs_cf, res.dts, res.gaps, res.mask, cfg.T_thresh
+    )
+    image = image + (1.0 - ws)[:, None] * bg
+    depth = jnp.clip(depth - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+    results = {
+        "image": image,
+        "depth": depth,
+        "weights_sum": ws,
+        "num_points": res.counts.sum(),
+        "counts": res.counts,
+    }
+    if aux is not None:
+        m = res.mask.reshape(-1).astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+        results["aux"] = jax.tree_util.tree_map(
+            lambda a: (a.reshape(-1) * m).sum() / denom, aux
+        )
+    return results
+
+
+def render_rays_eval(
+    field: FieldFns,
+    params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    bitfield: jax.Array,
+    cfg: RenderConfig,
+    bg_color=None,
+):
+    """Iterative full-quality render (the alive-ray loop, statically shaped)."""
+    N = rays_o.shape[0]
+    K = cfg.K_eval
+    nears, fars = near_far_from_aabb(rays_o, rays_d, cfg.aabb, cfg.min_near)
+    bg = _resolve_bg(field, params, rays_o, rays_d, cfg, bg_color)
+    max_rounds = max(1, -(-cfg.max_steps // K))
+
+    def round_body(state):
+        rnd, rays_t, ws, depth, image = state
+        res = march_rays(
+            rays_o, rays_d, rays_t, fars, bitfield,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=K,
+        )
+        out = field.sigma_rgb(
+            params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
+        )
+        sigmas, rgbs_cf = out[0], out[1]  # optional aux ignored at eval
+        sigmas = sigmas.reshape(N, K).astype(jnp.float32) * cfg.density_scale
+        rgbs_cf = rgbs_cf.reshape(3, N, K).astype(jnp.float32)
+
+        # incremental composite continuing from accumulated weight_sum
+        # (kernel_composite_rays: T = 1 - weight_sum, raymarching.cu:884)
+        w = composite_weights(sigmas, res.dts, res.mask, 0.0)
+        T_in = jnp.maximum(1.0 - ws, 0.0)[:, None]
+        w = T_in * w
+        # early stop on the *global* running transmittance
+        tau = sigmas * res.dts * res.mask.astype(jnp.float32)
+        T_run = T_in * jnp.exp(-jnp.cumsum(tau, axis=-1))
+        stopped = jnp.cumsum((T_run < cfg.T_thresh).astype(jnp.float32), axis=-1)
+        alive_s = (stopped - (T_run < cfg.T_thresh)) < 0.5
+        w = w * alive_s.astype(jnp.float32)
+
+        t_cum = rays_t[:, None] + jnp.cumsum(res.gaps, axis=-1)
+        ws_new = ws + w.sum(axis=-1)
+        depth_new = depth + (w * t_cum).sum(axis=-1)
+        image_new = image + jnp.einsum("nk,cnk->nc", w, rgbs_cf)
+        return rnd + 1, res.next_t, ws_new, depth_new, image_new
+
+    def round_cond(state):
+        rnd, rays_t, ws, depth, image = state
+        alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
+        return (rnd < max_rounds) & jnp.any(alive)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        nears.astype(jnp.float32),
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N, 3), jnp.float32),
+    )
+    _, _, ws, depth, image = jax.lax.while_loop(round_cond, round_body, init)
+
+    image = image + (1.0 - ws)[:, None] * bg
+    depth = jnp.clip(depth - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+    return {"image": image, "depth": depth, "weights_sum": ws}
+
+
+def render_rays_uniform(
+    field: FieldFns,
+    params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    cfg: RenderConfig,
+    num_steps: int = 128,
+    upsample_steps: int = 128,
+    key: jax.Array | None = None,
+    bg_color=None,
+):
+    """Grid-free path (reference `run`, renderer.py:126-254): uniform sampling
+    in [near, far] + one round of inverse-CDF importance upsampling."""
+    N = rays_o.shape[0]
+    nears, fars = near_far_from_aabb(rays_o, rays_d, cfg.aabb, cfg.min_near)
+    nears = jnp.where(nears > 1e30, 0.05, nears)  # missed rays: tiny dummy interval
+    fars = jnp.where(fars > 1e30, 0.06, fars)
+    bg = _resolve_bg(field, params, rays_o, rays_d, cfg, bg_color)
+
+    z = jnp.linspace(0.0, 1.0, num_steps)
+    z_vals = nears[:, None] + (fars - nears)[:, None] * z[None, :]  # [N, S]
+    sample_dist = (fars - nears) / num_steps
+    if key is not None:
+        key, k1 = jax.random.split(key)
+        z_vals = z_vals + (jax.random.uniform(k1, z_vals.shape) - 0.5) * sample_dist[:, None]
+
+    def points_cf(zv):
+        """[N, S] z values -> [3, N*S] channels-first clamped positions."""
+        comps = [
+            jnp.clip(rays_o[:, c : c + 1] + rays_d[:, c : c + 1] * zv, -cfg.bound, cfg.bound)
+            for c in range(3)
+        ]
+        return jnp.stack([c.reshape(-1) for c in comps], axis=0)
+
+    sigmas = field.density(params, points_cf(z_vals)).reshape(z_vals.shape)
+
+    if upsample_steps > 0:
+        deltas = jnp.diff(z_vals, axis=-1)
+        deltas = jnp.concatenate([deltas, sample_dist[:, None]], axis=-1)
+        alphas = 1.0 - jnp.exp(-cfg.density_scale * deltas * sigmas.astype(jnp.float32))
+        alphas_shifted = jnp.concatenate(
+            [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-15], axis=-1
+        )
+        weights = alphas * jnp.cumprod(alphas_shifted, axis=-1)[:, :-1]
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        if key is not None:
+            key, k2 = jax.random.split(key)
+        else:
+            k2 = None
+        new_z = sample_pdf(
+            z_mid, weights[:, 1:-1], upsample_steps, det=(key is None), key=k2
+        )
+        new_z = jax.lax.stop_gradient(new_z)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, new_z], axis=-1), axis=-1)
+
+    S = z_vals.shape[-1]
+    dirs_cf = jnp.broadcast_to(rays_d.T[:, :, None], (3, N, S)).reshape(3, -1)
+    sigmas, rgbs_cf = field.sigma_rgb(params, points_cf(z_vals), dirs_cf)
+    sigmas = sigmas.reshape(N, S).astype(jnp.float32) * cfg.density_scale
+    rgbs_cf = rgbs_cf.reshape(3, N, S).astype(jnp.float32)
+
+    deltas = jnp.diff(z_vals, axis=-1)
+    deltas = jnp.concatenate([deltas, sample_dist[:, None]], axis=-1)
+    alphas = 1.0 - jnp.exp(-deltas * sigmas)
+    alphas_shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-15], axis=-1
+    )
+    weights = alphas * jnp.cumprod(alphas_shifted, axis=-1)[:, :-1]  # [N, S]
+
+    ws = weights.sum(axis=-1)
+    depth_raw = (weights * z_vals).sum(axis=-1)
+    image = jnp.einsum("ns,cns->nc", weights, rgbs_cf)
+    image = image + (1.0 - ws)[:, None] * bg
+    depth = jnp.clip(depth_raw - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+    return {"image": image, "depth": depth, "weights_sum": ws}

@@ -1,0 +1,145 @@
+"""TensoRF trainer: L1 density regularization + progressive upsampling.
+
+Behavioral reference: torch-ngp `tensoRF/utils.py:41-129`:
+  * train_step adds `model.density_loss() * l1_reg_weight` (:46-48)
+  * at each `upsample_model_steps` milestone: upsample factor grids to the
+    next resolution on a log-spaced schedule resolution0 -> resolution1
+    (main_tensoRF.py:131-134) and REBUILD the optimizer (:127-129)
+  * (the reference also shrinks factors to the occupied aabb before
+    upsampling; grid-cropping shrink is not yet implemented here — the factor
+    grids keep spanning [-bound, bound])
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.provider import NeRFDataset
+from ..data.rays import sample_rays
+from ..models.tensorf import TensoRFNetwork, upsample_params
+from ..render import FieldFns, RenderConfig, render_rays_train
+from ..utils.config import TrainConfig
+from .ema import ema_init
+from .trainer import Trainer, make_optimizer
+
+
+def l1_density_loss(params) -> jax.Array:
+    """Mean |.| over sigma factor grids (network.py density_loss)."""
+    p = params["params"] if "params" in params else params
+    terms = [jnp.abs(v).mean() for k, v in p.items() if k.startswith("sigma_")]
+    return sum(terms) / max(len(terms), 1)
+
+
+class TensoRFTrainer(Trainer):
+    def __init__(
+        self,
+        model: TensoRFNetwork,
+        dataset: NeRFDataset,
+        cfg: RenderConfig,
+        tc: TrainConfig,
+        valid_dataset: Optional[NeRFDataset] = None,
+        l1_reg_weight: float = 1e-4,
+        upsample_model_steps: Sequence[int] = (2000, 3000, 4000, 5500, 7000),
+        resolution1: int = 300,
+    ):
+        self.l1_reg_weight = l1_reg_weight
+        self.upsample_model_steps = list(upsample_model_steps)
+        res0 = model.resolution[0]
+        self.upsample_resolutions = (
+            np.round(
+                np.exp(np.linspace(np.log(res0), np.log(resolution1),
+                                   len(self.upsample_model_steps) + 1))
+            ).astype(np.int32).tolist()[1:]
+        )
+        super().__init__(model, dataset, cfg, tc, valid_dataset=valid_dataset)
+
+    def _build_train_step(self):
+        field, cfg, tc = self.field, self.cfg, self.tc
+        H, W, C = self.H, self.W, self.channels
+        n_frames = self.n_frames
+        images, poses, intr = self.images, self.poses, self.intrinsics
+        tx = self.tx
+        l1w = self.l1_reg_weight
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, key, _em, bitfield):
+            k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
+            idx = jax.random.randint(k_idx, (), 0, n_frames)
+            r = sample_rays(k_rays, poses[idx], intr, H, W, tc.num_rays)
+            gt = images[idx].reshape(-1, C)[r["inds"]]
+            if C == 4 and cfg.bg_radius <= 0:
+                bg = jax.random.uniform(k_bg, (tc.num_rays, 3))
+                gt_rgb = gt[:, :3] * gt[:, 3:] + bg * (1.0 - gt[:, 3:])
+            else:
+                bg = None
+                gt_rgb = gt[:, :3]
+
+            def loss_fn(p):
+                out = render_rays_train(
+                    field, p, r["rays_o"], r["rays_d"], bitfield, cfg,
+                    key=k_perturb, bg_color=bg,
+                )
+                rgb = jnp.mean((out["image"] - gt_rgb) ** 2)
+                return rgb + l1w * l1_density_loss(p), out["num_points"]
+
+            (loss, npts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, jnp.zeros((1, 1)), loss, npts
+
+        return step
+
+    def maybe_upsample(self):
+        if self.global_step not in self.upsample_model_steps:
+            return
+        i = self.upsample_model_steps.index(self.global_step)
+        new_res = (self.upsample_resolutions[i],) * 3
+        self.log(
+            f"[tensorf] upsample at step {self.global_step}: "
+            f"{self.model.resolution} -> {new_res}"
+        )
+        new_params = upsample_params(self.params, new_res)
+        self.model = self.model.clone(resolution=new_res)
+        self.params = new_params
+        self.field = FieldFns.from_model(self.model)
+        # optimizer reset (tensoRF/utils.py:127-129)
+        self.tx = make_optimizer(self.tc)
+        self.opt_state = self.tx.init(self.params)
+        self.ema_params = ema_init(self.params)
+        self._train_step = self._build_train_step()
+        if hasattr(self, "_eval_fn"):
+            del self._eval_fn
+
+    def train_one_epoch(self, steps: int):
+        import time
+
+        t0 = time.time()
+        total_loss, total_pts = 0.0, 0
+        for _ in range(steps):
+            self.maybe_upsample()
+            self.maybe_update_grid()
+            self.key, k = jax.random.split(self.key)
+            em = jnp.zeros((1, 1))
+            self.params, self.opt_state, _, loss, npts = self._train_step(
+                self.params, self.opt_state, k, em, self.grid.bitfield
+            )
+            self.global_step += 1
+            total_loss += float(loss)
+            total_pts += int(npts)
+        from .ema import ema_update
+
+        self.ema_params = ema_update(self.ema_params, self.params, self.tc.ema_decay)
+        dt = time.time() - t0
+        avg = total_loss / steps
+        self.stats["loss"].append(avg)
+        self.log(
+            f"[tensorf epoch {self.epoch}] loss={avg:.6f} steps={steps} "
+            f"{steps/dt:.1f} it/s pts/step={total_pts//steps}"
+        )
+        return avg

@@ -1,0 +1,31 @@
+"""Typed experiment configuration.
+
+Replaces the reference's argparse-kwargs-soup (`**vars(self.opt)` passed
+wholesale into render, nerf/utils.py:528 — see SURVEY.md §5.6) with explicit
+dataclasses.  Flag names keep parity with main_nerf.py so the CLIs map 1:1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    name: str = "ngp"
+    workspace: str = "workspace"
+    seed: int = 0
+    iters: int = 30000  # total training steps (main_nerf.py:14)
+    lr: float = 1e-2
+    num_rays: int = 4096
+    eval_interval: int = 50  # epochs
+    max_keep_ckpt: int = 2
+    ema_decay: float = 0.95
+    update_extra_interval: int = 16  # density grid update cadence (steps)
+    error_map: bool = False
+    patch_size: int = 1
+    color_space: str = "srgb"  # 'srgb' | 'linear'
+    bf16: bool = True  # the TPU analogue of --fp16 (no GradScaler needed)
+    use_checkpoint: str = "latest"  # 'latest' | 'scratch' | path
+    steps_per_epoch: Optional[int] = None  # default: number of train frames
