@@ -1,0 +1,58 @@
+"""Global sample compaction: exact when the budget covers all valid samples;
+budget-limited drops match the reference's overflow-drop semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from dataclasses import replace
+
+from tngp.ops.compaction import compact_mask, expand_to_slab, gather_cf
+from tngp.ops import packbits
+from tngp.render import FieldFns, RenderConfig, render_rays_train
+
+
+def test_compact_mask_roundtrip(rng):
+    N, K = 16, 32
+    mask = jnp.asarray(rng.uniform(size=(N, K)) < 0.3)
+    M_budget = 256
+    comp = compact_mask(mask, M_budget)
+    total = int(mask.sum())
+    assert int(comp.sel_valid.sum()) == min(total, M_budget)
+    # values roundtrip: scatter-free expand(gather(x)) == x on valid slots
+    x = jnp.asarray(rng.normal(size=(1, N * K)), jnp.float32)
+    xc = gather_cf(x, comp)
+    back = expand_to_slab(xc[0], comp, N, K)
+    want = np.where(np.asarray(mask), np.asarray(x).reshape(N, K), 0.0)
+    np.testing.assert_allclose(np.asarray(back), want, rtol=1e-6)
+
+
+def analytic_field():
+    def density(params, x_cf):
+        return 30.0 * jnp.exp(-jnp.sum(x_cf**2, axis=0) / (2 * 0.3**2))
+
+    def sigma_rgb(params, x_cf, d_cf):
+        return density(params, x_cf), jax.nn.sigmoid(x_cf)
+
+    return FieldFns(sigma_rgb=sigma_rgb, density=density)
+
+
+def test_compacted_render_matches_full():
+    cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=128, K=64, min_near=0.05)
+    field = analytic_field()
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.array([0, 0, -2.5]) + rng.normal(0, 0.05, (32, 3)), jnp.float32)
+    d = np.asarray(rng.uniform(-0.3, 0.3, (32, 3))) - np.asarray(o)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    bf = packbits(jnp.ones((32**3,), jnp.float32), 0.5)
+
+    full = render_rays_train(field, None, o, d, bf, cfg)
+    # generous budget -> identical
+    cfg_c = replace(cfg, compact_fraction=0.99)
+    comp = render_rays_train(field, None, o, d, bf, cfg_c)
+    np.testing.assert_allclose(
+        np.asarray(comp["image"]), np.asarray(full["image"]), atol=1e-5
+    )
+    # tight budget -> still finite/valid, close-ish (front samples dominate)
+    cfg_t = replace(cfg, compact_fraction=0.3)
+    tight = render_rays_train(field, None, o, d, bf, cfg_t)
+    assert np.isfinite(np.asarray(tight["image"])).all()

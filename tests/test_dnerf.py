@@ -83,3 +83,32 @@ def test_dnerf_time_grid_and_render():
 
     g = jax.grad(loss)(params)
     assert any(float(jnp.abs(l).sum()) > 0 for l in jax.tree_util.tree_leaves(g))
+
+
+def test_dnerf_basis_variant():
+    from tngp.models import DNeRFBasisNetwork
+
+    model = DNeRFBasisNetwork(bound=1.0)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (8, 3), minval=-1, maxval=1)
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    params = model.init(key, x, d, jnp.float32(0.3))
+    s0, rgb0, _ = model.apply(params, x, d, jnp.float32(0.0))
+    s1, rgb1, _ = model.apply(params, x, d, jnp.float32(0.8))
+    assert s0.shape == (8,) and rgb0.shape == (8, 3)
+    # time-dependent (tiny at init since hash features start ~1e-4)
+    assert float(np.abs(np.asarray(s0) - np.asarray(s1)).max()) > 1e-8
+
+
+def test_dnerf_hyper_variant():
+    from tngp.models import DNeRFHyperNetwork
+
+    model = DNeRFHyperNetwork(bound=1.0, ambient_dim=2)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (8, 3), minval=-1, maxval=1)
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    params = model.init(key, x, d, jnp.float32(0.3))
+    s0, rgb0, _ = model.apply(params, x, d, jnp.float32(0.0))
+    s1, _, _ = model.apply(params, x, d, jnp.float32(0.9))
+    assert s0.shape == (8,) and rgb0.shape == (8, 3)
+    assert float(np.abs(np.asarray(s0) - np.asarray(s1)).max()) > 1e-10

@@ -1,7 +1,7 @@
 from .common import MLP
-from .dnerf import DNeRFNetwork
+from .dnerf import DNeRFBasisNetwork, DNeRFHyperNetwork, DNeRFNetwork
 from .ngp import NGPNetwork
 from .sdf import SDFNetwork
 from .tensorf import TensoRFNetwork, upsample_params
 
-__all__ = ["MLP", "DNeRFNetwork", "NGPNetwork", "SDFNetwork", "TensoRFNetwork", "upsample_params"]
+__all__ = ["MLP", "DNeRFNetwork", "DNeRFBasisNetwork", "DNeRFHyperNetwork", "DNeRFBasisNetwork", "DNeRFHyperNetwork", "NGPNetwork", "SDFNetwork", "TensoRFNetwork", "upsample_params"]

@@ -137,3 +137,147 @@ class DNeRFNetwork(nn.Module):
             x.reshape(-1, 3).T, d.reshape(-1, 3).T, t
         )
         return sigma.reshape(prefix), rgb.T.reshape(*prefix, 3), deform.T.reshape(*prefix, 3)
+
+
+class DNeRFBasisNetwork(nn.Module):
+    """Temporal-basis D-NeRF variant (`--basis`, dnerf/network_basis.py:10-180):
+    a time MLP produces sigma/color basis coefficients; the spatial net outputs
+    per-basis features contracted against them."""
+
+    bound: float = 1.0
+    encoding: str = "tiledgrid"
+    multires_time: int = 6
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 32
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    sigma_basis_dim: int = 32
+    color_basis_dim: int = 8
+    num_layers_basis: int = 5
+    hidden_dim_basis: int = 128
+    bg_radius: float = -1.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder_time, _ = get_encoder(
+            "frequency", input_dim=1, multires=self.multires_time
+        )
+        self.basis_net = MLP(
+            hidden_dim=self.hidden_dim_basis,
+            output_dim=self.sigma_basis_dim + self.color_basis_dim,
+            num_layers=self.num_layers_basis, compute_dtype=self.compute_dtype,
+        )
+        self.encoder, _ = get_encoder(
+            self.encoding, desired_resolution=int(2048 * self.bound)
+        )
+        self.sigma_net = MLP(
+            hidden_dim=self.hidden_dim,
+            output_dim=self.sigma_basis_dim + self.geo_feat_dim,
+            num_layers=self.num_layers, compute_dtype=self.compute_dtype,
+        )
+        self.encoder_dir, _ = get_encoder("sphere_harmonics")
+        self.color_net = MLP(
+            hidden_dim=self.hidden_dim_color, output_dim=3 * self.color_basis_dim,
+            num_layers=self.num_layers_color, compute_dtype=self.compute_dtype,
+        )
+
+    def _basis(self, t):
+        t_arr = jnp.asarray(t, jnp.float32).reshape(1, 1)
+        enc_t = _freq_cf(t_arr, self.multires_time)  # [13, 1]
+        h = self.basis_net.cf(enc_t)[:, 0].astype(jnp.float32)
+        return h[: self.sigma_basis_dim], h[self.sigma_basis_dim:]
+
+    def density_cf(self, x_cf: jax.Array, t):
+        sigma_basis, _ = self._basis(t)
+        h = self.encoder.cf(x_cf, bound=self.bound)
+        h = self.sigma_net.cf(h).astype(jnp.float32)  # [SB+G, B]
+        sigma = trunc_exp(jnp.einsum("s,sb->b", sigma_basis, h[: self.sigma_basis_dim]))
+        return {"sigma": sigma, "geo_feat": h[self.sigma_basis_dim:]}
+
+    def sigma_rgb_cf(self, x_cf: jax.Array, d_cf: jax.Array, t):
+        sigma_basis, color_basis = self._basis(t)
+        h = self.encoder.cf(x_cf, bound=self.bound)
+        h = self.sigma_net.cf(h).astype(jnp.float32)
+        sigma = trunc_exp(jnp.einsum("s,sb->b", sigma_basis, h[: self.sigma_basis_dim]))
+        geo = h[self.sigma_basis_dim:]
+        de = self.encoder_dir.cf(d_cf)
+        hc = jnp.concatenate([de.astype(geo.dtype), geo], axis=0)
+        hc = self.color_net.cf(hc).astype(jnp.float32)  # [3*CB, B]
+        hc = hc.reshape(3, self.color_basis_dim, -1)
+        rgb = jax.nn.sigmoid(jnp.einsum("c,kcb->kb", color_basis, hc))
+        return sigma, rgb, None
+
+    def __call__(self, x: jax.Array, d: jax.Array, t):
+        prefix = x.shape[:-1]
+        sigma, rgb, _ = self.sigma_rgb_cf(x.reshape(-1, 3).T, d.reshape(-1, 3).T, t)
+        return sigma.reshape(prefix), rgb.T.reshape(*prefix, 3), None
+
+
+class DNeRFHyperNetwork(nn.Module):
+    """Hyper/ambient-dim D-NeRF variant (`--hyper`, dnerf/network_hyper.py:
+    57-145): a time MLP emits `ambient_dim` extra coordinates (tanh * bound)
+    appended to x before a (3+ambient_dim)-D grid encode."""
+
+    bound: float = 1.0
+    encoding: str = "tiledgrid"
+    ambient_dim: int = 2
+    multires_time: int = 6
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    num_layers_ambient: int = 3
+    hidden_dim_ambient: int = 64
+    bg_radius: float = -1.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder_time, _ = get_encoder(
+            "frequency", input_dim=1, multires=self.multires_time
+        )
+        self.ambient_net = MLP(
+            hidden_dim=self.hidden_dim_ambient, output_dim=self.ambient_dim,
+            num_layers=self.num_layers_ambient, compute_dtype=self.compute_dtype,
+        )
+        self.encoder, _ = get_encoder(
+            self.encoding, input_dim=3 + self.ambient_dim,
+            desired_resolution=int(2048 * self.bound),
+        )
+        self.sigma_net = MLP(
+            hidden_dim=self.hidden_dim, output_dim=1 + self.geo_feat_dim,
+            num_layers=self.num_layers, compute_dtype=self.compute_dtype,
+        )
+        self.encoder_dir, _ = get_encoder("sphere_harmonics")
+        self.color_net = MLP(
+            hidden_dim=self.hidden_dim_color, output_dim=3,
+            num_layers=self.num_layers_color, compute_dtype=self.compute_dtype,
+        )
+
+    def _ambient(self, t):
+        t_arr = jnp.asarray(t, jnp.float32).reshape(1, 1)
+        enc_t = _freq_cf(t_arr, self.multires_time)
+        amb = self.ambient_net.cf(enc_t).astype(jnp.float32)  # [A, 1]
+        return jnp.tanh(amb) * self.bound
+
+    def density_cf(self, x_cf: jax.Array, t):
+        amb = self._ambient(t)  # [A, 1]
+        B = x_cf.shape[1]
+        xa = jnp.concatenate([x_cf, jnp.broadcast_to(amb, (self.ambient_dim, B))], axis=0)
+        h = self.encoder.cf(xa, bound=self.bound)
+        h = self.sigma_net.cf(h)
+        sigma = trunc_exp(h[0].astype(jnp.float32))
+        return {"sigma": sigma, "geo_feat": h[1:]}
+
+    def sigma_rgb_cf(self, x_cf: jax.Array, d_cf: jax.Array, t):
+        out = self.density_cf(x_cf, t)
+        de = self.encoder_dir.cf(d_cf)
+        h = jnp.concatenate([de.astype(out["geo_feat"].dtype), out["geo_feat"]], axis=0)
+        rgb = jax.nn.sigmoid(self.color_net.cf(h).astype(jnp.float32))
+        return out["sigma"], rgb, None
+
+    def __call__(self, x: jax.Array, d: jax.Array, t):
+        prefix = x.shape[:-1]
+        sigma, rgb, _ = self.sigma_rgb_cf(x.reshape(-1, 3).T, d.reshape(-1, 3).T, t)
+        return sigma.reshape(prefix), rgb.T.reshape(*prefix, 3), None

@@ -53,6 +53,9 @@ class TensoRFNetwork(nn.Module):
     num_layers: int = 3
     hidden_dim: int = 128
     bound: float = 1.0
+    # trainable region; shrink_params crops factors and tightens this
+    # (reference aabb_train, tensoRF/network.py:283-318)
+    aabb: Tuple[float, ...] = ()
     decomposition: str = "vm"  # 'vm' | 'cp'
     bg_radius: float = -1.0
     bg_resolution: Tuple[int, int] = (512, 512)
@@ -109,9 +112,12 @@ class TensoRFNetwork(nn.Module):
     # ---- factor lookups (x normalized to [-1, 1]) ---------------------------
 
     def _normalize(self, x_cf: jax.Array) -> jax.Array:
-        # [-bound, bound] -> [-1, 1]; the aabb shrink is realized by cropping
-        # the factor grids instead of storing a mutable aabb (see shrink_params)
-        return x_cf / self.bound
+        # [-bound, bound] world -> [-1, 1] inside the (shrinkable) aabb
+        # (tensoRF/network.py:160)
+        aabb = self.aabb or (-self.bound,) * 3 + (self.bound,) * 3
+        lo = jnp.asarray(aabb[:3], jnp.float32)[:, None]
+        hi = jnp.asarray(aabb[3:], jnp.float32)[:, None]
+        return 2.0 * (x_cf - lo) / (hi - lo) - 1.0
 
     def _pair_feat(self, mats, vecs, x_cf):
         feats = []
@@ -184,6 +190,55 @@ def _resize_linear(arr: np.ndarray, new_len: int, axis: int) -> jnp.ndarray:
     t = pos - i0
     out = a[..., i0] * (1 - t) + a[..., i1] * t
     return jnp.moveaxis(out, -1, axis)
+
+
+def shrink_params(
+    params: dict,
+    model: "TensoRFNetwork",
+    density_grid_coarsest,  # [H^3] linear order (ix major, iz fastest)
+    grid_size: int,
+    thresh: float,
+):
+    """Crop factor grids to the occupied AABB (tensoRF/network.py:283-318).
+
+    Returns (new_params, new_model) — the functional form of the reference's
+    in-place shrink (optimizer must be rebuilt by the caller, like
+    tensoRF/utils.py:127-129)."""
+    g = np.asarray(density_grid_coarsest).reshape(grid_size, grid_size, grid_size)
+    occ = np.argwhere(g > thresh)  # [Nz, 3] (ix, iy, iz)
+    bound = model.bound
+    aabb_old = np.asarray(model.aabb or (-bound,) * 3 + (bound,) * 3, np.float32)
+    if len(occ) == 0:
+        return params, model
+    half = bound / grid_size
+    pos = (2 * occ / (grid_size - 1) - 1) * (bound - half)
+    min_pos = pos.min(0) - half
+    max_pos = pos.max(0) + half
+
+    reso = np.asarray(model.resolution)
+    units = (aabb_old[3:] - aabb_old[:3]) / reso
+    tl = np.clip(np.round((min_pos - aabb_old[:3]) / units).astype(int), 0, None)
+    br = np.minimum(np.round((max_pos - aabb_old[:3]) / units).astype(int), reso)
+
+    p = dict(params["params"]) if "params" in params else dict(params)
+    out = {}
+    for name, leaf in p.items():
+        if name.startswith(("sigma_vec_", "color_vec_")):
+            i = int(name[-1])
+            v = VEC_IDS[i]
+            leaf = leaf[:, tl[v] : br[v]]
+        elif name.startswith(("sigma_mat_", "color_mat_")):
+            i = int(name[-1])
+            m0, m1 = MAT_IDS[i]
+            leaf = leaf[:, tl[m1] : br[m1], tl[m0] : br[m0]]
+        out[name] = leaf
+    new_res = tuple(int(b - t) for t, b in zip(tl, br))
+    new_model = model.clone(
+        resolution=new_res,
+        aabb=tuple(np.concatenate([min_pos, max_pos]).astype(float)),
+    )
+    new_params = {"params": out} if "params" in params else out
+    return new_params, new_model
 
 
 def upsample_params(params: dict, new_resolution: Sequence[int]) -> dict:

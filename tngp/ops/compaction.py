@@ -1,0 +1,76 @@
+"""Global valid-sample compaction — the TPU analogue of the reference's
+`mean_count` point budget (raymarching.py:200-232: march allocates M ~=
+mean_count points and drops overflow).
+
+After marching, only ~counts/K of the [N, K] slab slots are valid; querying
+the field on every slot wastes encoder gathers and (especially) backward
+scatter-adds, which are the TPU bottleneck (see PERF.md).  This op compacts
+the first `M_budget` valid samples across ALL rays into a tight buffer (same
+budget semantics as the reference: overflow samples are dropped), and returns
+the rank map to broadcast field outputs back to slab form — a gather, never a
+scatter.
+
+All index math is the branch-free binary search over a monotone cumsum (see
+ops/march.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Compaction(NamedTuple):
+    sel: jax.Array  # [M_budget] flat slab index of each compacted sample
+    sel_valid: jax.Array  # [M_budget] bool: slot holds a real sample
+    rank: jax.Array  # [N, K] int32 rank of each slab slot among valid (clipped)
+    in_budget: jax.Array  # [N, K] bool: slot valid AND within budget
+
+
+@partial(jax.jit, static_argnames=("M_budget",))
+def compact_mask(mask: jax.Array, M_budget: int) -> Compaction:
+    """mask: [N, K] bool -> compaction to M_budget samples (ray-major order)."""
+    N, K = mask.shape
+    M = N * K
+    flat = mask.reshape(-1)
+    rank_incl = jnp.cumsum(flat.astype(jnp.int32))  # [M] inclusive
+    total = rank_incl[-1]
+
+    # sel[j] = first flat index with rank_incl >= j+1  (j-th valid sample)
+    want = jnp.arange(1, M_budget + 1, dtype=jnp.int32)
+    lo = jnp.zeros((M_budget,), jnp.int32)
+    hi = jnp.full((M_budget,), M, jnp.int32)
+    for _ in range(max(1, M.bit_length())):
+        mid = (lo + hi) >> 1
+        r = jnp.take(rank_incl, jnp.minimum(mid, M - 1))
+        go_right = r < want
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    sel = jnp.minimum(lo, M - 1)
+    sel_valid = want <= total
+
+    rank = (rank_incl.reshape(N, K) - 1).astype(jnp.int32)
+    in_budget = mask & (rank < M_budget)
+    return Compaction(
+        sel=sel, sel_valid=sel_valid,
+        rank=jnp.clip(rank, 0, M_budget - 1), in_budget=in_budget,
+    )
+
+
+def gather_cf(x_cf: jax.Array, comp: Compaction) -> jax.Array:
+    """[C, N*K] channels-first samples -> [C, M_budget] compacted."""
+    return jnp.take(x_cf, comp.sel, axis=1)
+
+
+def expand_to_slab(values: jax.Array, comp: Compaction, N: int, K: int) -> jax.Array:
+    """[M_budget] (or [C, M_budget]) field outputs -> [N, K] (or [C, N, K]),
+    zero outside the budget."""
+    if values.ndim == 1:
+        out = jnp.take(values, comp.rank.reshape(-1)).reshape(N, K)
+        return jnp.where(comp.in_budget, out, 0.0)
+    C = values.shape[0]
+    out = jnp.take(values, comp.rank.reshape(-1), axis=1).reshape(C, N, K)
+    return jnp.where(comp.in_budget[None], out, 0.0)

@@ -54,6 +54,11 @@ class RenderConfig:
     T_thresh: float = 1e-4
     bg_radius: float = -1.0
     density_thresh: float = 10.0  # occupancy threshold (main_nerf.py --density_thresh)
+    # global sample budget M (as a fraction of N*K) for train-time compaction —
+    # the reference's mean_count semantics (raymarching.py:200-232): only the
+    # first M valid samples are queried/backpropped, overflow is dropped.
+    # 1.0 disables compaction.
+    compact_fraction: float = 1.0
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":
@@ -135,18 +140,43 @@ def render_rays_train(
         dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=cfg.K, noise=noise,
     )
 
-    out = field.sigma_rgb(
-        params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
-    )
-    # optional aux dict of [B]-shaped per-sample scalars (e.g. |deform| for the
-    # D-NeRF regularizer) as a third return value
-    aux = None
-    if len(out) == 3:
-        sigmas, rgbs_cf, aux = out
+    if cfg.compact_fraction < 1.0:
+        # query only the first M valid samples across all rays (global budget)
+        from ..ops.compaction import compact_mask, expand_to_slab, gather_cf
+
+        M_budget = min(
+            N * cfg.K,
+            max(128, -(-int(N * cfg.K * cfg.compact_fraction) // 128) * 128),
+        )
+        comp = compact_mask(res.mask, M_budget)
+        x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
+        d_c = gather_cf(res.dirs_cf.reshape(3, -1), comp)
+        out = field.sigma_rgb(params, x_c, d_c)
+        aux = None
+        if len(out) == 3:
+            sig_c, rgb_c, aux_c = out
+            aux = jax.tree_util.tree_map(
+                lambda a: expand_to_slab(a.reshape(-1), comp, N, cfg.K).reshape(-1),
+                aux_c,
+            )
+        else:
+            sig_c, rgb_c = out
+        sigmas = expand_to_slab(sig_c.astype(jnp.float32), comp, N, cfg.K)
+        sigmas = sigmas * cfg.density_scale
+        rgbs_cf = expand_to_slab(rgb_c.astype(jnp.float32), comp, N, cfg.K)
     else:
-        sigmas, rgbs_cf = out
-    sigmas = (sigmas.reshape(N, cfg.K).astype(jnp.float32)) * cfg.density_scale
-    rgbs_cf = rgbs_cf.reshape(3, N, cfg.K)
+        out = field.sigma_rgb(
+            params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
+        )
+        # optional aux dict of [B]-shaped per-sample scalars (e.g. |deform| for
+        # the D-NeRF regularizer) as a third return value
+        aux = None
+        if len(out) == 3:
+            sigmas, rgbs_cf, aux = out
+        else:
+            sigmas, rgbs_cf = out
+        sigmas = (sigmas.reshape(N, cfg.K).astype(jnp.float32)) * cfg.density_scale
+        rgbs_cf = rgbs_cf.reshape(3, N, cfg.K)
 
     ws, depth, image, _ = composite_rays_cf(
         sigmas, rgbs_cf, res.dts, res.gaps, res.mask, cfg.T_thresh

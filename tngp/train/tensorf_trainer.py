@@ -99,10 +99,27 @@ class TensoRFTrainer(Trainer):
         if self.global_step not in self.upsample_model_steps:
             return
         i = self.upsample_model_steps.index(self.global_step)
-        new_res = (self.upsample_resolutions[i],) * 3
+
+        # shrink to the occupied aabb first (tensoRF/utils.py:108-110)
+        from ..models.tensorf import shrink_params
+
+        thresh = min(self.cfg.density_thresh, float(self.grid.mean_density))
+        self.params, self.model = shrink_params(
+            self.params, self.model,
+            np.asarray(self.grid.density_grid[-1]), self.cfg.grid_size, thresh,
+        )
+
+        # adaptive voxel size from the (possibly shrunk) aabb (utils.py:112-118)
+        n_vox = self.upsample_resolutions[i] ** 3
+        aabb = np.asarray(
+            self.model.aabb
+            or (-self.model.bound,) * 3 + (self.model.bound,) * 3
+        )
+        vox = np.cbrt(np.prod(aabb[3:] - aabb[:3]) / n_vox)
+        new_res = tuple(int(v) for v in ((aabb[3:] - aabb[:3]) / vox).astype(np.int32))
         self.log(
             f"[tensorf] upsample at step {self.global_step}: "
-            f"{self.model.resolution} -> {new_res}"
+            f"{self.model.resolution} -> {new_res} (aabb {aabb.round(3).tolist()})"
         )
         new_params = upsample_params(self.params, new_res)
         self.model = self.model.clone(resolution=new_res)
