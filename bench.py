@@ -114,7 +114,7 @@ def main():
     for step in range(48):
         if step % 16 == 0:
             k, kk = jax.random.split(k)
-            grid = grid_update(grid, params, kk, full=True)
+            grid = grid_update(grid, params, kk, full=(step < 32))
             jax.block_until_ready(grid.bitfield)
             if step == 0:
                 log(f"grid update compiled {time.time()-t_start:.1f}s")

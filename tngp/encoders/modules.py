@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import HashGridSpec, freq_encode, hash_encode, sh_encode
-from ..ops.hashgrid import hash_encode_cf
+from ..ops.hashgrid import hash_encode_cf_vjp
 from ..ops.sh import sh_encode_cf
 
 
@@ -48,7 +48,8 @@ class GridEncoder(nn.Module):
 
     def cf(self, x_cf: jax.Array, bound: float = 1.0) -> jax.Array:
         x01 = (x_cf + bound) / (2.0 * bound)
-        return hash_encode_cf(x01, self.embeddings, self.spec)
+        # custom-VJP path: Pallas scatter-add table gradient on TPU
+        return hash_encode_cf_vjp(x01, self.embeddings, self.spec)
 
 
 class SHEncoder(nn.Module):

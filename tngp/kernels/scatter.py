@@ -1,0 +1,98 @@
+"""Pallas TPU scatter-add — the primitive XLA lacks.
+
+XLA lowers `.at[idx].add(vals)` on TPU to a ~12M rows/s serial loop; Mosaic
+has no vector scatter either (PERF.md).  This kernel runs a scalar fori_loop
+over indices with the accumulator resident in VMEM — measured ~107M rows/s
+on v5e for tables up to 2^17 rows.
+
+VMEM geometry: a narrow [rows, C] f32 buffer pads to 512 B/row (128 lanes),
+capping one window at 2^17 rows (64 MB).  Larger tables run several MASKED
+passes of the same unguarded kernel (out-of-chunk updates write zeros to row
+0): measured cheaper than predicated skipping (@pl.when branches cost more
+than the wasted accumulate).
+
+Determinism: the grid runs sequentially on the single TPU core and the loop
+is sequential, so accumulation order is fixed (unlike the reference's
+atomicAdd kernels, gridencoder.cu:246-337).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 8192
+_CHUNK_ROWS = 1 << 17  # 64MB f32 VMEM window
+
+
+def _scatter_kernel(idx_ref, val_ref, out_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(j, _):
+        t = idx_ref[j]
+        out_ref[pl.ds(t, 1), :] += val_ref[pl.ds(j, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, _BLK, body, 0)
+
+
+def _one_chunk(idx, vals, rows):
+    M, C = vals.shape
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=(M // _BLK,),
+        in_specs=[
+            pl.BlockSpec((_BLK,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(idx, vals)
+
+
+@partial(jax.jit, static_argnames=("num_rows",))
+def scatter_add(
+    idx: jax.Array,  # [M] int32 row indices into the output
+    vals: jax.Array,  # [M, C] values
+    num_rows: int,
+) -> jax.Array:
+    """Deterministic out[idx[j], :] += vals[j, :]; returns [num_rows, C] f32."""
+    M, C = vals.shape
+    pad = (-M) % _BLK
+    idx = idx.astype(jnp.int32)
+    vals = vals.astype(jnp.float32)
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, C), jnp.float32)])
+    if num_rows <= _CHUNK_ROWS:
+        return _one_chunk(idx, vals, num_rows)
+    n_chunks = -(-num_rows // _CHUNK_ROWS)
+    outs = []
+    for c in range(n_chunks):
+        local = idx - c * _CHUNK_ROWS
+        rows = min(_CHUNK_ROWS, num_rows - c * _CHUNK_ROWS)
+        in_chunk = (local >= 0) & (local < rows)
+        outs.append(
+            _one_chunk(
+                jnp.where(in_chunk, local, 0),
+                vals * in_chunk[:, None].astype(jnp.float32),
+                rows,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def scatter_add_auto(idx: jax.Array, vals: jax.Array, num_rows: int) -> jax.Array:
+    """Pallas on TPU, plain XLA scatter elsewhere (CPU tests)."""
+    if jax.default_backend() == "tpu":
+        return scatter_add(idx, vals, num_rows)
+    return jnp.zeros((num_rows, vals.shape[1]), jnp.float32).at[idx].add(
+        vals.astype(jnp.float32)
+    )

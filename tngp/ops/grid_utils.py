@@ -64,8 +64,15 @@ def packbits(grid: jax.Array, thresh: jax.Array | float) -> jax.Array:
 
 
 def bitfield_probe(bitfield: jax.Array, cell_index: jax.Array) -> jax.Array:
-    """Test occupancy bits: flat `bitfield` uint8, int cell indices -> bool."""
+    """Test occupancy bits: flat `bitfield` uint8, int cell indices -> bool.
+
+    Probes through an int32-word view (4 bytes/word) — TPU gathers are
+    index-count-bound, so word probes cut the gather count 4x vs byte probes
+    while preserving the CUDA bit convention (byte i>>3, bit 1<<(i&7))."""
     idx = cell_index.astype(jnp.uint32)
-    byte = jnp.take(bitfield, (idx >> 3).astype(jnp.int32), axis=0)
-    bit = (byte >> (idx & 7).astype(jnp.uint8)) & jnp.uint8(1)
+    words = jax.lax.bitcast_convert_type(
+        bitfield.reshape(-1, 4), jnp.int32
+    )  # little-endian: byte b is bits [8b, 8b+8)
+    w = jnp.take(words, (idx >> 5).astype(jnp.int32), axis=0)
+    bit = (w >> (idx & 31).astype(jnp.int32)) & 1
     return bit.astype(jnp.bool_)

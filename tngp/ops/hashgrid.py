@@ -252,6 +252,106 @@ def hash_encode(inputs: jax.Array, table: jax.Array, spec: HashGridSpec) -> jax.
     return out.T.reshape(*prefix, spec.output_dim)
 
 
+# ---------------------------------------------------------------------------
+# custom-VJP variant: Pallas scatter-add backward (the TPU hot path)
+# ---------------------------------------------------------------------------
+
+
+def _level_geometry(spec: HashGridSpec, level: int, x: jax.Array):
+    """Per-level interp geometry for `x` [D, B] fp32 in [0, 1].
+
+    Returns (idx_local [2^D, B] int32 rows within the level, w [2^D, B] f32
+    weights, frac [D, B], raw_frac [D, B] pre-smoothstep)."""
+    D = spec.input_dim
+    scale = spec.level_scale(level)
+    shift = 0.0 if spec.align_corners else 0.5
+    pos = x * scale + shift
+    pos_grid = jnp.floor(pos)
+    raw_frac = pos - pos_grid
+    frac = raw_frac
+    if spec.interpolation == "smoothstep":
+        frac = frac * frac * (3.0 - 2.0 * frac)
+    pg = pos_grid.astype(jnp.int32)
+    corners = _corner_offsets(D)
+    idxs, ws = [], []
+    for k in range(1 << D):
+        cc = [pg[d] + int(corners[k, d]) for d in range(D)]
+        idxs.append(
+            (_level_indices_cf(spec, level, cc) - jnp.uint32(spec.offsets[level])).astype(
+                jnp.int32
+            )
+        )
+        w = jnp.ones_like(frac[0])
+        for d in range(D):
+            w = w * (frac[d] if corners[k, d] else 1.0 - frac[d])
+        ws.append(w)
+    return jnp.stack(idxs), jnp.stack(ws), frac, raw_frac
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_cf_vjp(x_cf: jax.Array, table: jax.Array, spec: HashGridSpec):
+    """hash_encode_cf with a hand-written backward: per-level Pallas
+    scatter-add for the table gradient (XLA's TPU scatter is ~12M rows/s; the
+    kernel in tngp/kernels/scatter.py runs ~70M rows/s — see PERF.md) and an
+    analytic input gradient matching the CUDA dy_dx path
+    (gridencoder.cu:196-241)."""
+    return hash_encode_cf(x_cf, table, spec)
+
+
+def _hash_vjp_fwd(x_cf, table, spec: HashGridSpec):
+    out = hash_encode_cf(x_cf, table, spec)
+    return out, (x_cf, table)
+
+
+def _hash_vjp_bwd(spec: HashGridSpec, res, g):
+    from ..kernels.scatter import scatter_add_auto
+
+    x_cf, table = res
+    D, L, C = spec.input_dim, spec.num_levels, spec.level_dim
+    B = x_cf.shape[1]
+    x = x_cf.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=0)  # [B]
+    valid = (~oob).astype(jnp.float32)
+    g = g.astype(jnp.float32).reshape(L, C, B) * valid[None, None, :]
+    corners = _corner_offsets(D)
+    table_f = table.astype(jnp.float32)
+
+    grad_levels = []
+    gx = jnp.zeros((D, B), jnp.float32)
+    for level in range(L):
+        idx, w, frac, raw_frac = _level_geometry(spec, level, x)  # [K8,B],[K8,B]
+        gl = g[level]  # [C, B]
+        # table gradient: rows idx[k] += w[k] * gl   (scatter over this level)
+        vals = jnp.einsum("kb,cb->kbc", w, gl).reshape(-1, C)  # [8B, C]
+        size = spec.offsets[level + 1] - spec.offsets[level]
+        grad_levels.append(scatter_add_auto(idx.reshape(-1), vals, size))
+
+        # input gradient (dy_dx): dL/dfrac_d = sum_k gv_k * dw_k/dfrac_d
+        vals_g = jnp.take(table_f, (idx + spec.offsets[level]).astype(jnp.int32), axis=0)
+        gv = jnp.einsum("kbc,cb->kb", vals_g.reshape(1 << D, B, C), gl)  # [8, B]
+        scale = spec.level_scale(level)
+        dfrac = jnp.ones_like(frac)
+        if spec.interpolation == "smoothstep":
+            dfrac = 6.0 * raw_frac * (1.0 - raw_frac)
+        for d in range(D):
+            dw = jnp.zeros((B,), jnp.float32)
+            for k in range(1 << D):
+                prod = jnp.ones((B,), jnp.float32)
+                for d2 in range(D):
+                    if d2 == d:
+                        continue
+                    prod = prod * (frac[d2] if corners[k, d2] else 1.0 - frac[d2])
+                sign = 1.0 if corners[k, d] else -1.0
+                dw = dw + gv[k] * sign * prod
+            gx = gx.at[d].add(dw * scale * dfrac[d] * valid)
+
+    grad_table = jnp.concatenate(grad_levels, axis=0).astype(table.dtype)
+    return gx.astype(x_cf.dtype), grad_table
+
+
+hash_encode_cf_vjp.defvjp(_hash_vjp_fwd, _hash_vjp_bwd)
+
+
 def hash_encode_tv_grad(
     inputs: jax.Array, table: jax.Array, spec: HashGridSpec, weight: float = 1e-7
 ) -> jax.Array:

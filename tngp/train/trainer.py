@@ -107,6 +107,13 @@ class Trainer:
 
         os.makedirs(tc.workspace, exist_ok=True)
         self.log_path = os.path.join(tc.workspace, f"log_{tc.name}.txt")
+        self.writer = None
+        try:  # tensorboard scalars (utils.py:713-714), optional
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(tc.workspace, "run", tc.name))
+        except Exception:
+            pass
 
         self._train_step = self._build_train_step()
 
@@ -207,6 +214,9 @@ class Trainer:
         dt = time.time() - t0
         avg = total_loss / steps
         self.stats["loss"].append(avg)
+        if self.writer is not None:
+            self.writer.add_scalar("train/loss", avg, self.global_step)
+            self.writer.add_scalar("train/its_per_s", steps / dt, self.global_step)
         self.log(
             f"[epoch {self.epoch}] loss={avg:.6f} psnr~{-10*np.log10(max(avg,1e-12)):.2f} "
             f"steps={steps} {steps/dt:.1f} it/s pts/step={total_pts//steps}"
