@@ -138,6 +138,25 @@ def main():
     jax.block_until_ready(loss)
     dt = time.time() - t0
 
+    # end-to-end sanity: render one eval view against GT (also exercises the
+    # iterative eval path on-chip); reported as a comment, not the metric
+    try:
+        from tngp.data.rays import full_image_rays
+        from tngp.render import render_rays_eval
+
+        o, d_ = full_image_rays(poses[0], intr, H, W)
+        eval_fn = jax.jit(
+            lambda p, o, d, bf: render_rays_eval(field, p, o, d, bf, cfg)["image"]
+        )
+        pieces = []
+        for s in range(0, o.shape[0], 4096):
+            pieces.append(np.asarray(eval_fn(params, o[s:s+4096], d_[s:s+4096], grid.bitfield)))
+        img = np.concatenate(pieces).reshape(H, W, 3)
+        mse = float(np.mean((img - np.asarray(images[0])) ** 2))
+        log(f"eval view PSNR after warmup+{n_timed} steps: {-10*np.log10(max(mse,1e-12)):.2f} dB")
+    except Exception as e:  # never fail the metric on the sanity check
+        log(f"eval render failed: {type(e).__name__}: {e}")
+
     it_s = n_timed / dt
     rays_s = it_s * N_RAYS
     print(

@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLK = 8192
-_CHUNK_ROWS = 1 << 17  # 64MB f32 VMEM window
+_CHUNK_ROWS_F32 = 1 << 17  # 64MB f32 VMEM window (512 B/row after lane padding)
+_CHUNK_ROWS_BF16 = 1 << 18  # 64MB bf16 window (256 B/row)
 
 
 def _scatter_kernel(idx_ref, val_ref, out_ref):
@@ -52,7 +53,7 @@ def _one_chunk(idx, vals, rows):
             pl.BlockSpec((_BLK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, C), vals.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
     )(idx, vals)
 
@@ -63,21 +64,26 @@ def scatter_add(
     vals: jax.Array,  # [M, C] values
     num_rows: int,
 ) -> jax.Array:
-    """Deterministic out[idx[j], :] += vals[j, :]; returns [num_rows, C] f32."""
+    """Deterministic out[idx[j], :] += vals[j, :]; returns [num_rows, C] f32.
+
+    Tables over 2^17 rows run multiple masked f32 passes.  (A bf16
+    accumulator would halve the passes, but Mosaic rejects single-row dynamic
+    RMW on 16-sublane bf16 tiles — revisit with paired-row writes.)"""
     M, C = vals.shape
     pad = (-M) % _BLK
     idx = idx.astype(jnp.int32)
-    vals = vals.astype(jnp.float32)
     if pad:
         idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
-        vals = jnp.concatenate([vals, jnp.zeros((pad, C), jnp.float32)])
-    if num_rows <= _CHUNK_ROWS:
+        vals = jnp.concatenate([vals, jnp.zeros((pad, C), vals.dtype)])
+    vals = vals.astype(jnp.float32)
+    if num_rows <= _CHUNK_ROWS_F32:
         return _one_chunk(idx, vals, num_rows)
-    n_chunks = -(-num_rows // _CHUNK_ROWS)
+    chunk = _CHUNK_ROWS_F32
+    n_chunks = -(-num_rows // chunk)
     outs = []
     for c in range(n_chunks):
-        local = idx - c * _CHUNK_ROWS
-        rows = min(_CHUNK_ROWS, num_rows - c * _CHUNK_ROWS)
+        local = idx - c * chunk
+        rows = min(chunk, num_rows - c * chunk)
         in_chunk = (local >= 0) & (local < rows)
         outs.append(
             _one_chunk(

@@ -209,11 +209,12 @@ def march_rays(
     sel_idx = found[:, :K]
     sel_valid = valid_slot[:, :K]
 
-    t_sel = jnp.take_along_axis(ts, sel_idx, axis=1)
-    dt_sel = jnp.take_along_axis(dts, sel_idx, axis=1)
-    xyz_sel_cf = jnp.stack(
-        [jnp.take_along_axis(p, sel_idx, axis=1) for p in (px, py, pz)], axis=0
-    )  # [3, N, K]
+    # one packed gather for (t, dt, x, y, z): 5x fewer gather indices than
+    # five separate take_along_axis calls (TPU gathers are index-count-bound)
+    packed = jnp.stack([ts, dts, px, py, pz], axis=0)  # [5, N, S]
+    sel = jnp.take_along_axis(packed, sel_idx[None, :, :], axis=2)  # [5, N, K]
+    t_sel, dt_sel = sel[0], sel[1]
+    xyz_sel_cf = sel[2:]  # [3, N, K]
     maskf = sel_valid
 
     # gap = (t_i + dt_i) - (t_{i-1} + dt_{i-1}), with t_{-1}+dt_{-1} := t0

@@ -47,9 +47,12 @@ from .metrics import PSNRMeter
 
 
 def make_optimizer(tc: TrainConfig):
-    """Adam(0.9, 0.99, eps 1e-15) + exponential decay to 0.1x over iters."""
+    """Adam(0.9, 0.99, eps 1e-15) + exponential decay to 0.1x over iters,
+    clamped after iters like the reference's lr_lambda = 0.1 ** min(step/iters, 1)
+    (main_nerf.py:198-201)."""
     schedule = optax.exponential_decay(
-        init_value=tc.lr, transition_steps=tc.iters, decay_rate=0.1
+        init_value=tc.lr, transition_steps=tc.iters, decay_rate=0.1,
+        end_value=tc.lr * 0.1,
     )
     return optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-15)
 
@@ -65,6 +68,8 @@ class Trainer:
         tc: TrainConfig,
         valid_dataset: Optional[NeRFDataset] = None,
         field: Optional[FieldFns] = None,
+        mesh=None,  # jax.sharding.Mesh('data'[, 'model']) for multi-chip runs
+        shard_table: bool = False,  # shard hash-table rows over 'model'
     ):
         self.model = model
         self.cfg = cfg
@@ -73,6 +78,8 @@ class Trainer:
         self.valid_dataset = valid_dataset
         self.field = field if field is not None else FieldFns.from_model(model)
         self.key = jax.random.PRNGKey(tc.seed)
+        self.mesh = mesh
+        self.shard_table = shard_table
 
         # device-resident data
         images = dataset.images
@@ -93,6 +100,13 @@ class Trainer:
         # params / optimizer / ema / grid
         self.key, init_key = jax.random.split(self.key)
         self.params = self._init_params(init_key)
+        if self.mesh is not None:
+            # DDP-equivalent (SURVEY §2.3): params replicated (hash-table rows
+            # optionally sharded over 'model'); rays shard over 'data' inside
+            # the jitted step; XLA SPMD inserts the psum over ICI.
+            from ..parallel import shard_params
+
+            self.params = shard_params(self.params, self.mesh, self.shard_table)
         self.tx = make_optimizer(tc)
         self.opt_state = self.tx.init(self.params)
         self.ema_params = ema_init(self.params)
@@ -142,6 +156,8 @@ class Trainer:
         tx = self.tx
         use_error_map = self.error_map is not None
 
+        mesh = self.mesh
+
         @partial(jax.jit, donate_argnums=(0, 1, 3))
         def step(params, opt_state, key, error_map, bitfield):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
@@ -151,6 +167,14 @@ class Trainer:
                 k_rays, poses[idx], intr, H, W, tc.num_rays,
                 error_map=em, patch_size=tc.patch_size,
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rs = NamedSharding(mesh, P("data"))
+                r = {
+                    k: (jax.lax.with_sharding_constraint(v, rs) if v.ndim >= 1 else v)
+                    for k, v in r.items()
+                }
             gt = images[idx].reshape(-1, C)[r["inds"]]  # [N, C]
 
             if C == 4 and cfg.bg_radius <= 0:
