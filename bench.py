@@ -93,7 +93,9 @@ def main():
         r = sample_rays(k2, poses[idx], intr, H, W, N_RAYS)
         gt = images[idx].reshape(-1, 3)[r["inds"]]
         out = render_rays_train(field, p, r["rays_o"], r["rays_d"], bitfield, cfg, key=k3)
-        return jnp.mean((out["image"] - gt) ** 2)
+        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
+        rm = out["ray_mask"].astype(jnp.float32)
+        return (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
 
     @jax.jit
     def train_step(p, o, k, bitfield):

@@ -7,9 +7,21 @@ cuda_ray(grid path, the default here) + preload (always on — data lives in HBM
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..render import RenderConfig
 from ..utils.config import TrainConfig
+
+
+def apply_platform_override():
+    """Honor TNGP_PLATFORM=cpu|tpu.  Needed because this environment's axon
+    TPU plugin ignores JAX_PLATFORMS (see CLAUDE.md); call before any backend
+    initialization."""
+    plat = os.environ.get("TNGP_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def add_common_args(p: argparse.ArgumentParser):
@@ -84,13 +96,16 @@ def load_dataset(opt, split: str, with_time: bool = False):
     from ..data.provider import NeRFDataset
 
     if opt.path == "synthetic":
+        # TNGP_SYNTH=frames,H,W shrinks the built-in scene (CI smoke tests)
+        spec = os.environ.get("TNGP_SYNTH", "16,128,128").split(",")
+        nf, H, W = (int(x) for x in spec)
         if with_time:
             from ..data.synthetic import make_synthetic_dynamic_dataset
 
-            return make_synthetic_dynamic_dataset(n_frames=16, H=128, W=128)
+            return make_synthetic_dynamic_dataset(n_frames=nf, H=H, W=W)
         from ..data.synthetic import make_synthetic_dataset
 
-        return make_synthetic_dataset(n_frames=16, H=128, W=128)
+        return make_synthetic_dataset(n_frames=nf, H=H, W=W)
     return NeRFDataset.load(
         opt.path, split=split, downscale=opt.downscale, scale=opt.scale,
         offset=tuple(opt.offset), use_error_map=opt.error_map, with_time=with_time,

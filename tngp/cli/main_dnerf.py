@@ -8,7 +8,10 @@ import numpy as np
 
 
 def main(argv=None):
-    from .common import add_common_args, build_configs, load_dataset
+    from .common import (add_common_args, apply_platform_override,
+                         build_configs, load_dataset)
+
+    apply_platform_override()
 
     p = argparse.ArgumentParser()
     add_common_args(p)

@@ -9,12 +9,17 @@ import numpy as np
 
 
 def main(argv=None):
-    from .common import add_common_args, build_configs, load_dataset
+    from .common import (add_common_args, apply_platform_override,
+                         build_configs, load_dataset)
+
+    apply_platform_override()
 
     p = argparse.ArgumentParser()
     add_common_args(p)
     p.add_argument("--gui", action="store_true", help="launch the web viewer")
     p.add_argument("--gui_port", type=int, default=7860)
+    p.add_argument("--mesh_resolution", type=int, default=256)
+    p.add_argument("--skip_test_render", action="store_true")
     opt = p.parse_args(argv)
 
     from ..models import NGPNetwork
@@ -52,12 +57,13 @@ def main(argv=None):
     trainer.train(max_epochs)
     if valid_ds is not None:
         trainer.evaluate(valid_ds, write_images=True)
-    try:
-        test_ds = load_dataset(opt, "test")
-        trainer.test(test_ds.poses)
-    except FileNotFoundError:
-        pass
-    trainer.save_mesh(resolution=256, threshold=10.0)
+    if not opt.skip_test_render:
+        try:
+            test_ds = load_dataset(opt, "test")
+            trainer.test(test_ds.poses)
+        except FileNotFoundError:
+            pass
+    trainer.save_mesh(resolution=opt.mesh_resolution, threshold=10.0)
     return trainer
 
 

@@ -6,6 +6,9 @@ import argparse
 
 
 def main(argv=None):
+    from .common import apply_platform_override
+
+    apply_platform_override()
     p = argparse.ArgumentParser()
     p.add_argument("path", type=str, help="mesh .obj path (or 'sphere')")
     p.add_argument("--test", action="store_true")
@@ -17,6 +20,7 @@ def main(argv=None):
     p.add_argument("--ff", action="store_true", help="(parity flag; single backend here)")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--num_samples", type=int, default=2**18)
+    p.add_argument("--epoch_size", type=int, default=100, help="steps per epoch")
     p.add_argument("--mesh_resolution", type=int, default=512)
     p.add_argument("--ckpt", type=str, default="latest")
     opt = p.parse_args(argv)
@@ -37,9 +41,9 @@ def main(argv=None):
         X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
         verts, faces = marching_tetrahedra(0.6 - np.sqrt(X**2 + Y**2 + Z**2), 0.0)
         ds = SDFDataset(vertices=verts / 63 * 2 - 1, faces=faces,
-                        num_samples=opt.num_samples)
+                        num_samples=opt.num_samples, size=opt.epoch_size)
     else:
-        ds = SDFDataset(opt.path, num_samples=opt.num_samples)
+        ds = SDFDataset(opt.path, num_samples=opt.num_samples, size=opt.epoch_size)
 
     model = SDFNetwork(
         compute_dtype=jnp.bfloat16 if opt.fp16 else jnp.float32

@@ -164,6 +164,10 @@ def render_rays_train(
         sigmas = expand_to_slab(sig_c.astype(jnp.float32), comp, N, cfg.K)
         sigmas = sigmas * cfg.density_scale
         rgbs_cf = expand_to_slab(rgb_c.astype(jnp.float32), comp, N, cfg.K)
+        # rays that lost samples to the global budget must not contribute to
+        # the loss (reference: overflow rays are zeroed and skipped,
+        # raymarching.cu:521-528) — surface the mask for the trainer
+        ray_in_budget = jnp.all(comp.in_budget == res.mask, axis=-1)
     else:
         out = field.sigma_rgb(
             params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
@@ -189,6 +193,10 @@ def render_rays_train(
         "weights_sum": ws,
         "num_points": res.counts.sum(),
         "counts": res.counts,
+        "ray_mask": (
+            ray_in_budget if cfg.compact_fraction < 1.0
+            else jnp.ones((N,), bool)
+        ),
     }
     if aux is not None:
         m = res.mask.reshape(-1).astype(jnp.float32)

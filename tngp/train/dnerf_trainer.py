@@ -130,7 +130,9 @@ class DNeRFTrainer(Trainer):
                     with_aux_field(p), p, r["rays_o"], r["rays_d"], bitfield, cfg,
                     key=k_perturb, bg_color=bg,
                 )
-                rgb_loss = jnp.mean((out["image"] - gt_rgb) ** 2)
+                per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
+                rm = out["ray_mask"].astype(jnp.float32)
+                rgb_loss = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
                 reg = out["aux"]["deform_abs"]
                 return rgb_loss + deform_reg * reg, out["num_points"]
 

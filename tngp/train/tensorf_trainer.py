@@ -5,9 +5,8 @@ Behavioral reference: torch-ngp `tensoRF/utils.py:41-129`:
   * at each `upsample_model_steps` milestone: upsample factor grids to the
     next resolution on a log-spaced schedule resolution0 -> resolution1
     (main_tensoRF.py:131-134) and REBUILD the optimizer (:127-129)
-  * (the reference also shrinks factors to the occupied aabb before
-    upsampling; grid-cropping shrink is not yet implemented here — the factor
-    grids keep spanning [-bound, bound])
+  * shrink-to-occupied-aabb before each upsample (models/tensorf.py
+    shrink_params), with the adaptive voxel-size resolution recomputation
 """
 
 from __future__ import annotations
@@ -85,7 +84,9 @@ class TensoRFTrainer(Trainer):
                     field, p, r["rays_o"], r["rays_d"], bitfield, cfg,
                     key=k_perturb, bg_color=bg,
                 )
-                rgb = jnp.mean((out["image"] - gt_rgb) ** 2)
+                per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
+                rm = out["ray_mask"].astype(jnp.float32)
+                rgb = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
                 return rgb + l1w * l1_density_loss(p), out["num_points"]
 
             (loss, npts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

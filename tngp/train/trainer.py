@@ -190,7 +190,9 @@ class Trainer:
                     key=k_perturb, bg_color=bg,
                 )
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)  # [N]
-                return per_ray.mean(), (per_ray, out["num_points"])
+                rm = out["ray_mask"].astype(jnp.float32)
+                loss = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
+                return loss, (per_ray, out["num_points"])
 
             (loss, (per_ray, npts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -328,13 +330,16 @@ class Trainer:
         import imageio.v2 as imageio
 
         if write_video:
-            imageio.mimwrite(
-                os.path.join(out_dir, f"{self.tc.name}_rgb.mp4"), frames, fps=10,
-                quality=8, macro_block_size=1,
-            )
-        else:
-            for i, fr in enumerate(frames):
-                imageio.imwrite(os.path.join(out_dir, f"{self.tc.name}_{i:04d}.png"), fr)
+            try:
+                imageio.mimwrite(
+                    os.path.join(out_dir, f"{self.tc.name}_rgb.mp4"), frames, fps=10,
+                    quality=8, macro_block_size=1,
+                )
+                return frames
+            except Exception as e:  # no ffmpeg backend in this environment
+                self.log(f"[test] mp4 writer unavailable ({e}); writing PNGs")
+        for i, fr in enumerate(frames):
+            imageio.imwrite(os.path.join(out_dir, f"{self.tc.name}_{i:04d}.png"), fr)
         return frames
 
     def save_mesh(self, path: Optional[str] = None, resolution: int = 256,
