@@ -70,8 +70,10 @@ def main():
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / np.sqrt(3))
     field = FieldFns.from_model(model)
+    # density_thresh 1.0: the synthetic blob scene has soft gaussian shells —
+    # the lego-style default (10) culls them and caps reconstruction quality
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128, min_near=0.05,
-                       compact_fraction=0.25)
+                       compact_fraction=0.25, density_thresh=1.0)
 
     grid = create(cfg.cascades, cfg.grid_size)
     grid = mark_untrained_grid(

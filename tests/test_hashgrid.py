@@ -124,3 +124,18 @@ def test_hashgrid_grads_inputs(rng):
     table = spec.init_table(jax.random.PRNGKey(0))
     check_grads(lambda xx: (hash_encode(xx, table, spec) ** 2).sum(), (x,),
                 order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+
+
+def test_tv_grad(rng):
+    from tngp.ops import hash_encode_tv_grad
+
+    spec = HashGridSpec.create(num_levels=2, level_dim=2, base_resolution=4,
+                               log2_hashmap_size=8)
+    table = jnp.asarray(rng.normal(size=(spec.total_params, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (32, 3)), jnp.float32)
+    g = hash_encode_tv_grad(x, table, spec, weight=1e-3)
+    assert g.shape == table.shape
+    assert float(jnp.abs(g).sum()) > 0
+    # TV gradient of a constant table is zero
+    g0 = hash_encode_tv_grad(x, jnp.ones_like(table), spec, weight=1e-3)
+    np.testing.assert_allclose(np.asarray(g0), 0.0, atol=1e-7)

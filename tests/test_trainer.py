@@ -60,3 +60,20 @@ def test_trainer_error_map(tmp_path):
     em = np.asarray(tr.error_map)
     assert em.shape == (4, 128 * 128)
     assert not np.allclose(em, 1.0)  # updated somewhere
+
+
+def test_trainer_uniform_path(tmp_path):
+    """The reference's non-cuda `run()` path: uniform + PDF sampling trainer."""
+    ds = make_synthetic_dataset(n_frames=4, H=32, W=32, seed=2, num_steps=96)
+    model = NGPNetwork(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=64, K=32, min_near=0.05,
+                       num_steps=32, upsample_steps=32)
+    tc = TrainConfig(name="ug", workspace=str(tmp_path), iters=100, num_rays=256,
+                     steps_per_epoch=15, use_checkpoint="scratch")
+    tr = Trainer(model, ds, cfg, tc, use_grid=False)
+    l0 = tr.train_one_epoch(15)
+    tr.epoch += 1
+    l1 = tr.train_one_epoch(15)
+    assert np.isfinite(l1) and l1 < l0
+    img, dep = tr.render_image(ds.poses[0], use_ema=False)
+    assert np.isfinite(img).all()

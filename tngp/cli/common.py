@@ -59,6 +59,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--bg_radius", type=float, default=-1.0)
     p.add_argument("--downscale", type=int, default=1)
     # experimental
+    p.add_argument("--no_grid", action="store_true",
+                   help="train with uniform+importance sampling instead of the "
+                        "occupancy grid (the reference's non-cuda_ray path)")
     p.add_argument("--error_map", action="store_true")
     p.add_argument("--rand_pose", type=int, default=-1)
     p.add_argument("--eval_interval", type=int, default=50)
@@ -74,6 +77,8 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         K=opt.sample_budget,
         density_thresh=opt.density_thresh,
         bg_radius=opt.bg_radius,
+        num_steps=opt.num_steps,
+        upsample_steps=opt.upsample_steps,
     )
     tc = TrainConfig(
         workspace=opt.workspace,

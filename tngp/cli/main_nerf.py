@@ -44,7 +44,8 @@ def main(argv=None):
         valid_ds = load_dataset(opt, "val")
     except FileNotFoundError:
         valid_ds = None
-    trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=valid_ds)
+    trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=valid_ds,
+                      use_grid=not opt.no_grid)
 
     if opt.gui:
         from .viewer import run_viewer

@@ -54,6 +54,8 @@ class RenderConfig:
     T_thresh: float = 1e-4
     bg_radius: float = -1.0
     density_thresh: float = 10.0  # occupancy threshold (main_nerf.py --density_thresh)
+    num_steps: int = 128  # uniform-path coarse samples (reference --num_steps)
+    upsample_steps: int = 128  # uniform-path importance samples (--upsample_steps)
     # global sample budget M (as a fraction of N*K) for train-time compaction —
     # the reference's mean_count semantics (raymarching.py:200-232): only the
     # first M valid samples are queried/backpropped, overflow is dropped.

@@ -37,6 +37,7 @@ from ..render import (
     mark_untrained_grid,
     render_rays_eval,
     render_rays_train,
+    render_rays_uniform,
     update_density_grid,
 )
 from ..utils.colors import srgb_to_linear
@@ -70,6 +71,7 @@ class Trainer:
         field: Optional[FieldFns] = None,
         mesh=None,  # jax.sharding.Mesh('data'[, 'model']) for multi-chip runs
         shard_table: bool = False,  # shard hash-table rows over 'model'
+        use_grid: bool = True,  # False = the reference's non-cuda `run()` path
     ):
         self.model = model
         self.cfg = cfg
@@ -80,6 +82,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(tc.seed)
         self.mesh = mesh
         self.shard_table = shard_table
+        self.use_grid = use_grid
 
         # device-resident data
         images = dataset.images
@@ -155,6 +158,7 @@ class Trainer:
         images, poses, intr = self.images, self.poses, self.intrinsics
         tx = self.tx
         use_error_map = self.error_map is not None
+        use_grid = self.use_grid
 
         mesh = self.mesh
 
@@ -185,14 +189,24 @@ class Trainer:
                 gt_rgb = gt[:, :3]
 
             def loss_fn(p):
-                out = render_rays_train(
-                    field, p, r["rays_o"], r["rays_d"], bitfield, cfg,
-                    key=k_perturb, bg_color=bg,
-                )
+                if use_grid:
+                    out = render_rays_train(
+                        field, p, r["rays_o"], r["rays_d"], bitfield, cfg,
+                        key=k_perturb, bg_color=bg,
+                    )
+                    rm = out["ray_mask"].astype(jnp.float32)
+                    npts = out["num_points"]
+                else:  # uniform + importance sampling (reference run(), renderer.py:126)
+                    out = render_rays_uniform(
+                        field, p, r["rays_o"], r["rays_d"], cfg,
+                        num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
+                        key=k_perturb, bg_color=bg,
+                    )
+                    rm = jnp.ones((tc.num_rays,), jnp.float32)
+                    npts = jnp.int32(tc.num_rays * (cfg.num_steps + cfg.upsample_steps))
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)  # [N]
-                rm = out["ray_mask"].astype(jnp.float32)
                 loss = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
-                return loss, (per_ray, out["num_points"])
+                return loss, (per_ray, npts)
 
             (loss, (per_ray, npts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -210,6 +224,8 @@ class Trainer:
 
     def maybe_update_grid(self):
         tc, cfg = self.tc, self.cfg
+        if not self.use_grid:
+            return
         if self.global_step % tc.update_extra_interval != 0:
             return
         self.key, k = jax.random.split(self.key)
@@ -274,10 +290,17 @@ class Trainer:
         o, d = full_image_rays(jnp.asarray(pose), intrinsics, self.H, self.W)
         if not hasattr(self, "_eval_fn"):
             field, cfg = self.field, self.cfg
+            use_grid = self.use_grid
 
             @jax.jit
             def eval_fn(p, o, d, bitfield, bg):
-                out = render_rays_eval(field, p, o, d, bitfield, cfg, bg_color=bg)
+                if use_grid:
+                    out = render_rays_eval(field, p, o, d, bitfield, cfg, bg_color=bg)
+                else:
+                    out = render_rays_uniform(
+                        field, p, o, d, cfg, num_steps=cfg.num_steps,
+                        upsample_steps=cfg.upsample_steps, bg_color=bg,
+                    )
                 return out["image"], out["depth"]
 
             self._eval_fn = eval_fn
