@@ -91,3 +91,42 @@ def test_upsample_params():
     s1, c1 = model.apply(params, x, d)
     s2, c2 = model2.apply(up, x, d)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=0.2, atol=0.5)
+
+
+def test_grid_sample_vjp_matches_autodiff(rng):
+    from tngp.ops.grid_sample import (
+        grid_sample_1d_cf,
+        grid_sample_1d_cf_vjp,
+        grid_sample_2d_cf,
+        grid_sample_2d_cf_vjp,
+    )
+
+    plane = jnp.asarray(rng.normal(size=(4, 9, 7)), jnp.float32)
+    u = jnp.asarray(rng.uniform(-0.95, 0.95, 64), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.95, 0.95, 64), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+
+    for ac in (True, False):
+        def f_ref(p, uu, vv):
+            return (grid_sample_2d_cf(p, uu, vv, ac) * g).sum()
+
+        def f_vjp(p, uu, vv):
+            return (grid_sample_2d_cf_vjp(p, uu, vv, ac) * g).sum()
+
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(plane, u, v)
+        gv = jax.grad(f_vjp, argnums=(0, 1, 2))(plane, u, v)
+        for a, b in zip(gr, gv):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+
+    line = jnp.asarray(rng.normal(size=(4, 11)), jnp.float32)
+    w = jnp.asarray(rng.uniform(-0.95, 0.95, 64), jnp.float32)
+    gl = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    for ac in (True, False):
+        gr = jax.grad(lambda l, ww: (grid_sample_1d_cf(l, ww, ac) * gl).sum(),
+                      argnums=(0, 1))(line, w)
+        gv = jax.grad(lambda l, ww: (grid_sample_1d_cf_vjp(l, ww, ac) * gl).sum(),
+                      argnums=(0, 1))(line, w)
+        for a, b in zip(gr, gv):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)

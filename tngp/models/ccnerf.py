@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import trunc_exp
-from ..ops.grid_sample import grid_sample_1d_cf, grid_sample_2d_cf
+from ..ops.grid_sample import (grid_sample_1d_cf_vjp as grid_sample_1d_cf,
+                               grid_sample_2d_cf_vjp as grid_sample_2d_cf)
 from ..ops.sh import sh_encode_cf
 from .tensorf import MAT_IDS, VEC_IDS
 

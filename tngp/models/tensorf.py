@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import freq_encode, trunc_exp
-from ..ops.grid_sample import grid_sample_1d_cf, grid_sample_2d_cf
+from ..ops.grid_sample import (grid_sample_1d_cf_vjp as grid_sample_1d_cf,
+                               grid_sample_2d_cf_vjp as grid_sample_2d_cf)
 from .common import MLP
 
 MAT_IDS = ((0, 1), (0, 2), (1, 2))
