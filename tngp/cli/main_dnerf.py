@@ -18,23 +18,23 @@ def main(argv=None):
     p.add_argument("--time_size", type=int, default=64)
     p.add_argument("--deform_reg", type=float, default=1e-3)
     p.add_argument("--basis", action="store_true",
-                   help="temporal-basis variant (not yet ported)")
+                   help="temporal-basis variant (dnerf/network_basis.py)")
     p.add_argument("--hyper", action="store_true",
-                   help="ambient-dim variant (not yet ported)")
+                   help="ambient-dim variant (dnerf/network_hyper.py)")
     opt = p.parse_args(argv)
-    if opt.basis or opt.hyper:
-        raise NotImplementedError(
-            "D-NeRF --basis/--hyper variants are not ported yet; the default "
-            "deformation-field model is available."
-        )
+    if opt.basis and opt.hyper:
+        p.error("--basis and --hyper are mutually exclusive")
 
     import jax.numpy as jnp
 
-    from ..models import DNeRFNetwork
+    from ..models import DNeRFBasisNetwork, DNeRFHyperNetwork, DNeRFNetwork
     from ..train.dnerf_trainer import DNeRFTrainer
 
     cfg, tc = build_configs(opt)
-    model = DNeRFNetwork(
+    # model selection parity with reference main_dnerf.py:80-86
+    cls = (DNeRFBasisNetwork if opt.basis
+           else DNeRFHyperNetwork if opt.hyper else DNeRFNetwork)
+    model = cls(
         bound=opt.bound, bg_radius=opt.bg_radius,
         compute_dtype=jnp.bfloat16 if tc.bf16 else jnp.float32,
     )

@@ -20,7 +20,7 @@ import optax
 
 from ..data.provider import NeRFDataset
 from ..data.rays import sample_rays
-from ..models.dnerf import DNeRFNetwork
+from ..models.dnerf import DNeRFBasisNetwork, DNeRFHyperNetwork, DNeRFNetwork
 from ..render import (
     FieldFns,
     RenderConfig,
@@ -69,18 +69,22 @@ class DNeRFTrainer(Trainer):
 
     @staticmethod
     def field_at_time(model, t) -> FieldFns:
+        """Model-generic: works for DNeRFNetwork and the --basis/--hyper
+        variants (all expose sigma_rgb_cf/density_cf with a trailing time arg;
+        selection parity with reference main_dnerf.py:80-86)."""
+        cls = type(model)
         return FieldFns(
             sigma_rgb=lambda p, xc, dc: model.apply(
-                p, xc, dc, t, method=DNeRFNetwork.sigma_rgb_cf
+                p, xc, dc, t, method=cls.sigma_rgb_cf
             )[:2],
             density=lambda p, xc: model.apply(
-                p, xc, t, method=DNeRFNetwork.density_cf
+                p, xc, t, method=cls.density_cf
             )["sigma"],
             background=(
                 (lambda p, sph, dc: model.apply(
-                    p, sph, dc, method=DNeRFNetwork.background_cf
+                    p, sph, dc, method=cls.background_cf
                 ))
-                if model.bg_radius > 0
+                if getattr(model, "bg_radius", -1.0) > 0 and hasattr(cls, "background_cf")
                 else None
             ),
         )
@@ -111,17 +115,24 @@ class DNeRFTrainer(Trainer):
                 bg = None
                 gt_rgb = gt[:, :3]
 
+            # only the deformation-field model regularizes |deform|
+            # (dnerf/utils.py:118-119); basis/hyper return deform=None
+            has_deform = isinstance(model, DNeRFNetwork)
+            cls = type(model)
+
             def with_aux_field(p):
                 def sigma_rgb(pp, xc, dc):
                     sig, rgb, deform = model.apply(
-                        pp, xc, dc, t, method=DNeRFNetwork.sigma_rgb_cf
+                        pp, xc, dc, t, method=cls.sigma_rgb_cf
                     )
+                    if not has_deform:
+                        return sig, rgb
                     return sig, rgb, {"deform_abs": jnp.abs(deform).mean(axis=0)}
 
                 return FieldFns(
                     sigma_rgb=sigma_rgb,
                     density=lambda pp, xc: model.apply(
-                        pp, xc, t, method=DNeRFNetwork.density_cf
+                        pp, xc, t, method=cls.density_cf
                     )["sigma"],
                 )
 
@@ -133,8 +144,9 @@ class DNeRFTrainer(Trainer):
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
                 rm = out["ray_mask"].astype(jnp.float32)
                 rgb_loss = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
-                reg = out["aux"]["deform_abs"]
-                return rgb_loss + deform_reg * reg, out["num_points"]
+                if has_deform:
+                    rgb_loss = rgb_loss + deform_reg * out["aux"]["deform_abs"]
+                return rgb_loss, out["num_points"]
 
             (loss, npts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -152,7 +164,7 @@ class DNeRFTrainer(Trainer):
         model = self.model
 
         def density_fn(p, x_cf, t):
-            return model.apply(p, x_cf, t, method=DNeRFNetwork.density_cf)["sigma"]
+            return model.apply(p, x_cf, t, method=type(model).density_cf)["sigma"]
 
         self.grid = update_time_density_grid(
             self.grid, self.params, k, density_fn=density_fn, bound=cfg.bound,
