@@ -69,6 +69,44 @@ class CCTrainer(Trainer):
             lambda params: jax.tree_util.tree_map_with_path(label, params),
         )
 
+    # ------------------------------------------------------ shape-aware resume
+    def _geometry(self):
+        c = self.cc_cfg
+        return {
+            "resolution": [int(r) for r in c.resolution],
+            "rank_vec_density": list(c.rank_vec_density),
+            "rank_mat_density": list(c.rank_mat_density),
+            "rank_vec": list(c.rank_vec),
+            "rank_mat": list(c.rank_mat),
+        }
+
+    def _rebuild_to_geometry(self, geometry):
+        """Rebuild params/optimizer to the checkpoint's CCConfig ranks before
+        deserializing (compress/finalize change group ranks; reference rebuild
+        semantics tensoRF/utils.py:238-401)."""
+        import dataclasses
+
+        c = self.cc_cfg
+        new_cfg = dataclasses.replace(
+            c,
+            resolution=tuple(int(r) for r in geometry.get("resolution", c.resolution)),
+            rank_vec_density=tuple(geometry.get("rank_vec_density", c.rank_vec_density)),
+            rank_mat_density=tuple(geometry.get("rank_mat_density", c.rank_mat_density)),
+            rank_vec=tuple(geometry.get("rank_vec", c.rank_vec)),
+            rank_mat=tuple(geometry.get("rank_mat", c.rank_mat)),
+        )
+        if new_cfg == c:
+            return
+        self.log(f"[ccnerf resume] rebuilding to ckpt geometry {geometry}")
+        self.cc_cfg = new_cfg
+        self.field = self._cc_field(new_cfg)
+        self.key, k = jax.random.split(self.key)
+        self.params = self._init_params(k)
+        self.ema_params = self.params
+        self._train_step = self._build_train_step()  # re-inits tx/opt_state
+        if hasattr(self, "_eval_fn"):
+            del self._eval_fn
+
     def _build_train_step(self):
         # uses custom optimizer with per-group lr
         self.tx = self._make_tx()

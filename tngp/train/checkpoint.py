@@ -35,6 +35,7 @@ def save_checkpoint(
     stats: Optional[Dict[str, Any]] = None,
     max_keep: int = 2,
     best: bool = False,
+    geometry: Optional[Dict[str, Any]] = None,  # model shape info for rebuild-on-load
 ) -> str:
     ckpt_dir = os.path.join(workspace, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -45,6 +46,8 @@ def save_checkpoint(
     )
     blob = serialization.to_bytes(_to_host(payload))
     meta = {"epoch": epoch, "global_step": global_step, "stats": stats or {}}
+    if geometry is not None:
+        meta["geometry"] = geometry
     with open(fname, "wb") as f:
         f.write(blob)
     with open(fname + ".json", "w") as f:
@@ -64,12 +67,58 @@ def latest_checkpoint(workspace: str, name: str) -> Optional[str]:
     return ckpts[-1] if ckpts else None
 
 
-def load_checkpoint(path: str, template: Dict[str, Any]):
-    """Restore `template`-shaped payload from `path`. Returns (payload, meta)."""
-    with open(path, "rb") as f:
-        payload = serialization.from_bytes(template, f.read())
-    meta = {}
+def load_meta(path: str) -> Dict[str, Any]:
+    """Read the json sidecar alone (used to rebuild models to checkpoint
+    geometry BEFORE deserializing arrays, tensoRF/utils.py:238-401)."""
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
-            meta = json.load(f)
+            return json.load(f)
+    return {}
+
+
+def _merge_state(template, loaded, path: str, report: Dict[str, list]):
+    """Recursively overlay `loaded` (raw msgpack state dict) onto `template`
+    (state dict), tolerating missing / unexpected / shape-mismatched entries
+    like the reference's non-strict load (nerf/utils.py:1254-1259)."""
+    if isinstance(template, dict):
+        out = {}
+        loaded = loaded if isinstance(loaded, dict) else {}
+        for k, tv in template.items():
+            if k in loaded:
+                out[k] = _merge_state(tv, loaded[k], f"{path}/{k}", report)
+            else:
+                report["missing"].append(f"{path}/{k}")
+                out[k] = tv
+        for k in loaded:
+            if k not in template:
+                report["unexpected"].append(f"{path}/{k}")
+        return out
+    # leaf: accept only matching shapes (dtype is cast by from_state_dict)
+    t_shape = getattr(template, "shape", None)
+    l_shape = getattr(loaded, "shape", None)
+    if t_shape is not None and l_shape is not None and tuple(t_shape) != tuple(l_shape):
+        report["mismatched"].append(f"{path}: ckpt{tuple(l_shape)} != model{tuple(t_shape)}")
+        return template
+    return loaded
+
+
+def load_checkpoint(path: str, template: Dict[str, Any], strict: bool = False):
+    """Restore `template`-shaped payload from `path`. Returns (payload, meta).
+
+    Non-strict (default): missing keys keep template values, unexpected keys
+    are dropped, shape mismatches keep template values; a `_load_report` entry
+    in meta lists all three (reference non-strict semantics,
+    nerf/utils.py:1254-1259)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if strict:
+        payload = serialization.from_bytes(template, blob)
+        return payload, load_meta(path)
+    raw = serialization.msgpack_restore(blob)
+    tmpl_state = serialization.to_state_dict(_to_host(template))
+    report = {"missing": [], "unexpected": [], "mismatched": []}
+    merged = _merge_state(tmpl_state, raw, "", report)
+    payload = serialization.from_state_dict(template, merged)
+    meta = load_meta(path)
+    meta["_load_report"] = report
     return payload, meta

@@ -134,6 +134,34 @@ class TensoRFTrainer(Trainer):
         if hasattr(self, "_eval_fn"):
             del self._eval_fn
 
+    # ------------------------------------------------------ shape-aware resume
+    def _geometry(self):
+        return {
+            "resolution": [int(r) for r in self.model.resolution],
+            "aabb": [float(a) for a in self.model.aabb] if self.model.aabb else None,
+        }
+
+    def _rebuild_to_geometry(self, geometry):
+        """Rebuild model+optimizer to the checkpoint's resolution/aabb before
+        deserializing (reference rebuilds upsampled grids the same way,
+        tensoRF/utils.py:238-401) — resuming across an upsample boundary would
+        otherwise fail on factor-shape mismatch."""
+        res = tuple(int(r) for r in geometry.get("resolution", self.model.resolution))
+        aabb = tuple(float(a) for a in geometry["aabb"]) if geometry.get("aabb") else ()
+        if tuple(self.model.resolution) == res and tuple(self.model.aabb or ()) == aabb:
+            return
+        self.log(f"[tensorf resume] rebuilding to ckpt geometry res={res} aabb={aabb}")
+        self.model = self.model.clone(resolution=res, aabb=aabb)
+        self.key, k = jax.random.split(self.key)
+        self.params = self._init_params(k)
+        self.field = FieldFns.from_model(self.model)
+        self.tx = make_optimizer(self.tc)
+        self.opt_state = self.tx.init(self.params)
+        self.ema_params = ema_init(self.params)
+        self._train_step = self._build_train_step()
+        if hasattr(self, "_eval_fn"):
+            del self._eval_fn
+
     def train_one_epoch(self, steps: int):
         import time
 

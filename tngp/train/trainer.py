@@ -42,7 +42,7 @@ from ..render import (
 )
 from ..utils.colors import srgb_to_linear
 from ..utils.config import TrainConfig
-from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpoint import latest_checkpoint, load_checkpoint, load_meta, save_checkpoint
 from .ema import ema_init, ema_update
 from .metrics import PSNRMeter
 
@@ -408,15 +408,38 @@ class Trainer:
             "error_map": self.error_map if self.error_map is not None else jnp.zeros(0),
         }
 
+    def _geometry(self):
+        """Model shape metadata recorded in the json sidecar so load can
+        rebuild the model to checkpoint shapes first (overridden by
+        TensoRF/CCNeRF trainers; reference tensoRF/utils.py:238-401)."""
+        return None
+
+    def _rebuild_to_geometry(self, geometry):
+        """Hook: reshape self.model/params/opt_state to `geometry` before the
+        arrays are deserialized.  Default: nothing to do (static shapes)."""
+
     def save_checkpoint(self, best: bool = False):
+        payload = self._payload()
+        if best:
+            # best checkpoints drop the density grid — it is cheap to rebuild
+            # and dominates file size (nerf/utils.py:1226-1228)
+            payload = {k: v for k, v in payload.items() if k != "grid"}
         save_checkpoint(
             self.tc.workspace, self.tc.name, self.epoch, self.global_step,
-            self._payload(), stats={"best_result": self.stats["best_result"]},
+            payload, stats={"best_result": self.stats["best_result"]},
             max_keep=self.tc.max_keep_ckpt, best=best,
+            geometry=self._geometry(),
         )
 
     def load_checkpoint(self, path: str):
+        meta0 = load_meta(path)
+        if meta0.get("geometry"):
+            self._rebuild_to_geometry(meta0["geometry"])
         payload, meta = load_checkpoint(path, self._payload())
+        rep = meta.get("_load_report", {})
+        for kind in ("missing", "unexpected", "mismatched"):
+            for item in rep.get(kind, []):
+                self.log(f"[load_checkpoint] {kind}: {item}")
         self.params = payload["params"]
         self.opt_state = payload["opt_state"]
         self.ema_params = payload["ema"]
@@ -425,4 +448,7 @@ class Trainer:
             self.error_map = payload["error_map"]
         self.epoch = meta.get("epoch", 0)
         self.global_step = meta.get("global_step", 0)
+        best = (meta.get("stats") or {}).get("best_result")
+        if best is not None:
+            self.stats["best_result"] = best
         self.log(f"[load_checkpoint] {path} (epoch {self.epoch}, step {self.global_step})")
