@@ -63,9 +63,25 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="train with uniform+importance sampling instead of the "
                         "occupancy grid (the reference's non-cuda_ray path)")
     p.add_argument("--error_map", action="store_true")
-    p.add_argument("--rand_pose", type=int, default=-1)
+    p.add_argument("--rand_pose", type=int, default=-1,
+                   help="> 0: every Nth step is a CLIP-guided random-pose step")
+    p.add_argument("--clip_text", type=str, default=None,
+                   help="text prompt for CLIP guidance (needs --rand_pose > 0)")
+    p.add_argument("--clip_model_path", type=str,
+                   default="openai/clip-vit-base-patch16",
+                   help="local HF CLIP snapshot dir; 'stub' = test embedder")
     p.add_argument("--eval_interval", type=int, default=50)
     return p
+
+
+def build_clip_embedder(opt):
+    """Embedder for --rand_pose/--clip_text runs (None when disabled)."""
+    if not (getattr(opt, "rand_pose", -1) and opt.rand_pose > 0 and opt.clip_text):
+        return None
+    from ..train.clip_guidance import make_embedder
+
+    kind = "stub" if opt.clip_model_path == "stub" else "flax"
+    return make_embedder(kind, opt.clip_model_path)
 
 
 def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
@@ -93,6 +109,9 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         color_space=opt.color_space,
         bf16=bool(opt.fp16 or opt.O),
         use_checkpoint=opt.ckpt,
+        rand_pose=getattr(opt, "rand_pose", -1),
+        clip_text=getattr(opt, "clip_text", None),
+        clip_model_path=getattr(opt, "clip_model_path", "openai/clip-vit-base-patch16"),
     )
     return cfg, tc
 

@@ -10,7 +10,7 @@ import numpy as np
 
 def main(argv=None):
     from .common import (add_common_args, apply_platform_override,
-                         build_configs, load_dataset)
+                         build_clip_embedder, build_configs, load_dataset)
 
     apply_platform_override()
 
@@ -45,7 +45,8 @@ def main(argv=None):
     except FileNotFoundError:
         valid_ds = None
     trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=valid_ds,
-                      use_grid=not opt.no_grid)
+                      use_grid=not opt.no_grid,
+                      clip_embedder=build_clip_embedder(opt))
 
     if opt.gui:
         from .viewer import run_viewer

@@ -72,6 +72,7 @@ class Trainer:
         mesh=None,  # jax.sharding.Mesh('data'[, 'model']) for multi-chip runs
         shard_table: bool = False,  # shard hash-table rows over 'model'
         use_grid: bool = True,  # False = the reference's non-cuda `run()` path
+        clip_embedder=None,  # differentiable image/text embedder (clip_guidance)
     ):
         self.model = model
         self.cfg = cfg
@@ -133,6 +134,17 @@ class Trainer:
             pass
 
         self._train_step = self._build_train_step()
+
+        # CLIP-guided GT-free step (every rand_pose-th iteration,
+        # nerf/utils.py:431-434,485-499)
+        self.clip_embedder = clip_embedder
+        self._clip_step = None
+        self._clip_text_feat = None
+        if tc.rand_pose and tc.rand_pose > 0 and clip_embedder is not None:
+            if not tc.clip_text:
+                raise ValueError("--rand_pose > 0 needs --clip_text")
+            self._clip_text_feat = jnp.asarray(clip_embedder.embed_text(tc.clip_text))
+            self._clip_step = self._build_clip_step()
 
         if tc.use_checkpoint == "latest":
             ckpt = latest_checkpoint(tc.workspace, tc.name)
@@ -222,6 +234,49 @@ class Trainer:
 
         return step
 
+    def _build_clip_step(self):
+        """Render a random orbit pose at low resolution and descend
+        -cos_sim(embed(render), embed(text)) — one jitted XLA program
+        (reference renders rand poses in train_step, nerf/utils.py:485-499)."""
+        field, cfg, tc = self.field, self.cfg, self.tc
+        embed = self.clip_embedder
+        tx = self.tx
+        # square render whose pixel count matches the ray budget
+        side = max(16, int(np.sqrt(tc.num_rays)) // 8 * 8)
+        intr = jnp.asarray(
+            [side * 0.7, side * 0.7, side / 2.0, side / 2.0], jnp.float32
+        )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def clip_step(params, opt_state, pose, text_feat, bitfield):
+            o, d = full_image_rays(pose, intr, side, side)
+
+            def loss_fn(p):
+                out = render_rays_train(field, p, o, d, bitfield, cfg)
+                img = out["image"].reshape(1, side, side, 3)
+                feats = embed.embed_images(img)  # [1, D]
+                return -jnp.mean(feats @ text_feat)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return clip_step
+
+    def run_clip_step(self):
+        from ..data.provider import rand_poses
+
+        pose = jnp.asarray(
+            rand_poses(np.random.default_rng(self.global_step), 1,
+                       radius=float(self.cfg.bound) * 1.5)[0]
+        )
+        self.params, self.opt_state, loss = self._clip_step(
+            self.params, self.opt_state, pose, self._clip_text_feat,
+            self.grid.bitfield,
+        )
+        return float(loss)
+
     def maybe_update_grid(self):
         tc, cfg = self.tc, self.cfg
         if not self.use_grid:
@@ -242,6 +297,15 @@ class Trainer:
         total_loss, total_pts = 0.0, 0
         for _ in range(steps):
             self.maybe_update_grid()
+            if (
+                self._clip_step is not None
+                and self.global_step % self.tc.rand_pose == 0
+            ):
+                closs = self.run_clip_step()
+                self.global_step += 1
+                if self.writer is not None:
+                    self.writer.add_scalar("train/clip_loss", closs, self.global_step)
+                continue
             self.key, k = jax.random.split(self.key)
             em = self.error_map if self.error_map is not None else jnp.zeros((1, 1))
             self.params, self.opt_state, em, loss, npts = self._train_step(

@@ -29,3 +29,9 @@ class TrainConfig:
     bf16: bool = True  # the TPU analogue of --fp16 (no GradScaler needed)
     use_checkpoint: str = "latest"  # 'latest' | 'scratch' | path
     steps_per_epoch: Optional[int] = None  # default: number of train frames
+    # CLIP-guided GT-free training (nerf/utils.py:431-434,485-499):
+    # every `rand_pose`-th step renders a random orbit pose and minimizes
+    # -cos_sim(CLIP(image), CLIP(text)); <= 0 disables.
+    rand_pose: int = -1
+    clip_text: Optional[str] = None
+    clip_model_path: str = "openai/clip-vit-base-patch16"
