@@ -27,13 +27,13 @@ def test_clip_rand_pose_training(tmp_path):
     tr = Trainer(NGPNetwork(bound=1.0, num_levels=4, log2_hashmap_size=12),
                  ds, cfg, tc, clip_embedder=emb)
     assert tr._clip_step is not None
-    p0 = np.asarray(tr.params["params"]["sigma_net"]["dense_0"]["kernel"]).copy()
+    p0 = np.asarray(tr.params["params"]["sigma_net"]["dense_0"]).copy()
     loss = tr.train_one_epoch(6)  # steps 0 and 3 are clip steps
     assert np.isfinite(loss)
     # the clip step itself must run and return a finite loss
     closs = tr.run_clip_step()
     assert np.isfinite(closs)
-    p1 = np.asarray(tr.params["params"]["sigma_net"]["dense_0"]["kernel"])
+    p1 = np.asarray(tr.params["params"]["sigma_net"]["dense_0"])
     assert not np.allclose(p0, p1)  # gradients flowed
 
 
