@@ -106,3 +106,28 @@ def test_march_empty_grid_gives_no_samples():
                      grid_size=H, max_steps=128, K=16)
     assert int(res.counts[0]) == 0
     assert not bool(np.asarray(res.mask).any())
+
+
+def test_march_slab_shapes_when_steps_below_budget():
+    """Regression: S < K must still produce [N, K] slabs with consistent
+    xyzs/dirs widths (found by the CLI smoke at max_steps=48, K_eval=64)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tngp.ops.march import march_rays
+
+    N, S, K = 8, 16, 32
+    H = 8
+    rays_o = np.zeros((N, 3), np.float32); rays_o[:, 2] = -2.0
+    rays_d = np.zeros((N, 3), np.float32); rays_d[:, 2] = 1.0
+    bitfield = jnp.full((H ** 3 // 8,), 255, jnp.uint8)
+    res = march_rays(
+        jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.full((N,), 1.0, jnp.float32), jnp.full((N,), 3.0, jnp.float32),
+        bitfield, bound=1.0, cascades=1, grid_size=H, max_steps=S, K=K,
+    )
+    assert res.xyzs_cf.shape == (3, N, K)
+    assert res.dirs_cf.shape == (3, N, K)
+    assert res.mask.shape == (N, K)
+    assert int(res.mask.sum(axis=1).max()) <= S
+    assert np.isfinite(np.asarray(res.ts)).all()

@@ -194,7 +194,9 @@ def march_rays(
     # [N, K+1] take_along_axis gathers — much friendlier to the TPU compiler
     # than a top_k/sort network over [N, S].
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)  # [N, S]
-    kk = min(K + 1, S)
+    # always K+1 slots (even when S < K: unmatched slots search to S and are
+    # masked invalid) so slab shapes stay [N, K] for any (S, K) combination
+    kk = K + 1
     want = jnp.arange(1, kk + 1, dtype=jnp.int32)[None, :]  # [1, K+1]
     lo = jnp.zeros((N, kk), jnp.int32)
     hi = jnp.full((N, kk), S, jnp.int32)
