@@ -1,3 +1,4 @@
+from .distributed import global_mesh, init_distributed, is_primary
 from .mesh import (
     make_mesh,
     param_sharding_rules,
@@ -7,6 +8,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "global_mesh",
+    "init_distributed",
+    "is_primary",
     "make_mesh",
     "param_sharding_rules",
     "ray_sharding",
