@@ -108,6 +108,117 @@ def test_march_empty_grid_gives_no_samples():
     assert not bool(np.asarray(res.mask).any())
 
 
+def run_grouped_case(dt_gamma, seed=0, C=1, H=16, bound=1.0, max_steps=256,
+                     K=128, group=8):
+    """Grouped two-level march must emit the exact (t, dt) set of the scalar
+    sim whenever the group budget suffices (coarse grid is conservative)."""
+    rng = np.random.default_rng(seed)
+    # sparse occupancy (~5%) so coarse skipping has something to skip
+    grid = (rng.uniform(size=(C * H**3,)) < 0.05).astype(np.float32)
+    bitfield = np.asarray(packbits(jnp.asarray(grid), 0.5))
+
+    N = 32
+    origins = rng.uniform(-2.5, -1.5, size=(N, 3)).astype(np.float32)
+    targets = rng.uniform(-0.5, 0.5, size=(N, 3)).astype(np.float32)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(origins), jnp.asarray(dirs), aabb, 0.05)
+
+    res = march_rays(
+        jnp.asarray(origins), jnp.asarray(dirs), nears, fars, jnp.asarray(bitfield),
+        bound=bound, cascades=C, grid_size=H, dt_gamma=dt_gamma,
+        max_steps=max_steps, K=K, group=group,
+    )
+
+    occ_fn = lambda cell: grid[cell] > 0.5
+    overflowed = 0
+    for n in range(N):
+        emitted = sim_march(
+            origins[n], dirs[n], float(nears[n]), float(fars[n]), occ_fn,
+            bound, C, H, dt_gamma, max_steps,
+        )
+        m = np.asarray(res.mask)[n]
+        ts = np.asarray(res.ts)[n][m]
+        dts = np.asarray(res.dts)[n][m]
+        nt = float(np.asarray(res.next_t)[n])
+        # every sim sample before next_t must appear (conservative coverage)
+        sim_pre = [(t, dt) for (t, dt) in emitted if t < nt - 1e-6]
+        if len(sim_pre) < len(emitted):
+            overflowed += 1
+        assert len(ts) == len(sim_pre), (
+            f"ray {n}: grouped emitted {len(ts)} vs sim {len(sim_pre)} before next_t"
+        )
+        if len(sim_pre):
+            np.testing.assert_allclose(
+                ts, np.array([t for t, _ in sim_pre]), rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(
+                dts, np.array([dt for _, dt in sim_pre]), rtol=1e-4, atol=1e-5)
+        # gaps telescope within the processed window
+        gaps = np.asarray(res.gaps)[n][m]
+        if len(ts):
+            np.testing.assert_allclose(
+                gaps.sum(), ts[-1] + dts[-1] - float(nears[n]), rtol=1e-4, atol=1e-4)
+    return overflowed
+
+
+def test_march_grouped_uniform():
+    run_grouped_case(dt_gamma=0.0)
+
+
+def test_march_grouped_adaptive():
+    run_grouped_case(dt_gamma=1.0 / 128, max_steps=512)
+
+
+def test_march_grouped_cascades():
+    run_grouped_case(dt_gamma=1.0 / 128, C=3, bound=4.0, max_steps=512)
+
+
+def test_march_grouped_resume_covers_everything():
+    """Iterating with next_t must eventually emit every sim sample exactly once
+    even when the per-round group budget overflows."""
+    rng = np.random.default_rng(3)
+    C, H, bound, max_steps, K, group = 1, 16, 1.0, 256, 32, 8
+    grid = (rng.uniform(size=(C * H**3,)) < 0.3).astype(np.float32)
+    bitfield = jnp.asarray(np.asarray(packbits(jnp.asarray(grid), 0.5)))
+
+    N = 16
+    origins = rng.uniform(-2.5, -1.5, size=(N, 3)).astype(np.float32)
+    targets = rng.uniform(-0.3, 0.3, size=(N, 3)).astype(np.float32)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(origins), jnp.asarray(dirs), aabb, 0.05)
+
+    collected = [[] for _ in range(N)]
+    t_cur = nears
+    for _ in range(12):
+        res = march_rays(
+            jnp.asarray(origins), jnp.asarray(dirs), t_cur, fars, bitfield,
+            bound=bound, cascades=C, grid_size=H, dt_gamma=0.0,
+            max_steps=max_steps, K=K, group=group,
+        )
+        m = np.asarray(res.mask)
+        ts = np.asarray(res.ts)
+        for n in range(N):
+            collected[n].extend(ts[n][m[n]].tolist())
+        t_cur = res.next_t
+        if bool((res.next_t >= fars).all()):
+            break
+
+    occ_fn = lambda cell: grid[cell] > 0.5
+    for n in range(N):
+        emitted = sim_march(
+            origins[n], dirs[n], float(nears[n]), float(fars[n]), occ_fn,
+            bound, C, H, 0.0, max_steps,
+        )
+        got = np.array(sorted(collected[n]))
+        want = np.array([t for t, _ in emitted])
+        assert len(got) == len(want), f"ray {n}: {len(got)} vs {len(want)}"
+        if len(want):
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_march_slab_shapes_when_steps_below_budget():
     """Regression: S < K must still produce [N, K] slabs with consistent
     xyzs/dirs widths (found by the CLI smoke at max_steps=48, K_eval=64)."""

@@ -69,6 +69,52 @@ def test_grid_train_vs_uniform_paths_agree():
     )
 
 
+def test_grouped_march_train_and_eval_match_flat():
+    """march_group>0 must reproduce the flat path on a dense grid (grouped
+    keeps whole live groups == first K rungs when everything is occupied)."""
+    base = dict(bound=1.0, grid_size=32, max_steps=256, K=256, K_eval=64,
+                min_near=0.05)
+    field = analytic_field()
+    o, d = make_rays(32)
+    cfg0 = RenderConfig(**base)
+    cfg8 = RenderConfig(**base, march_group=8)
+    bf = full_bitfield(cfg0)
+
+    t0 = render_rays_train(field, None, o, d, bf, cfg0)
+    t8 = render_rays_train(field, None, o, d, bf, cfg8)
+    np.testing.assert_allclose(
+        np.asarray(t0["image"]), np.asarray(t8["image"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t0["depth"]), np.asarray(t8["depth"]), atol=1e-5)
+
+    e0 = render_rays_eval(field, None, o, d, bf, cfg0)
+    e8 = render_rays_eval(field, None, o, d, bf, cfg8)
+    np.testing.assert_allclose(
+        np.asarray(e0["image"]), np.asarray(e8["image"]), atol=1e-4)
+
+
+def test_grouped_march_sparse_grid_close_to_flat():
+    """On a sparse occupancy grid the grouped path may probe extra (coarse is
+    dilated/conservative) but composited images must agree: same occupied set."""
+    cfg0 = RenderConfig(bound=1.0, grid_size=32, max_steps=256, K=256,
+                        K_eval=64, min_near=0.05)
+    cfg8 = RenderConfig(bound=1.0, grid_size=32, max_steps=256, K=256,
+                        K_eval=64, min_near=0.05, march_group=8)
+    field = analytic_field()
+    o, d = make_rays(32, seed=5)
+    # occupancy only near the blob (r < 0.6)
+    H = cfg0.grid_size
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    occ = ((gx**2 + gy**2 + gz**2) < 0.6**2).astype(np.float32).reshape(-1)
+    bf = packbits(jnp.asarray(occ), 0.5)
+
+    t0 = render_rays_train(field, None, o, d, bf, cfg0)
+    t8 = render_rays_train(field, None, o, d, bf, cfg8)
+    np.testing.assert_allclose(
+        np.asarray(t0["image"]), np.asarray(t8["image"]), atol=1e-4)
+
+
 def test_empty_bitfield_renders_background():
     cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=128, K=32, min_near=0.05)
     field = analytic_field()

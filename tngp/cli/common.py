@@ -45,6 +45,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--patch_size", type=int, default=1)
     p.add_argument("--sample_budget", type=int, default=128,
                    help="K: per-ray sample budget (replaces mean_count)")
+    p.add_argument("--march_group", type=int, default=8,
+                   help="rungs per coarse-probe group (0 = flat march); the "
+                        "TPU empty-space skip, see ops/march.py")
     # model
     p.add_argument("--fp16", action="store_true", help="bf16 mixed precision on TPU")
     # dataset
@@ -95,6 +98,13 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         bg_radius=opt.bg_radius,
         num_steps=opt.num_steps,
         upsample_steps=opt.upsample_steps,
+        march_group=(
+            opt.march_group
+            if opt.march_group > 0
+            and opt.max_steps % opt.march_group == 0
+            and opt.sample_budget % opt.march_group == 0
+            else 0
+        ),
     )
     tc = TrainConfig(
         workspace=opt.workspace,

@@ -73,10 +73,13 @@ class MarchResult(NamedTuple):
 def _t_ladder(t0: jax.Array, j: jax.Array, dt_gamma: float, dt_min: float, dt_max: float):
     """t value at ladder rung j (closed form of the clamp recurrence).
 
-    t0: [N] start t; j: [S] rung indices. Returns [N, S] float32.
+    t0: [N] start t; j: [S] rung indices shared across rays, or [N, S]
+    per-ray rungs.  Returns [N, S] float32.
     """
     t0 = t0[:, None].astype(jnp.float32)
-    jf = j[None, :].astype(jnp.float32)
+    jf = j.astype(jnp.float32)
+    if jf.ndim == 1:
+        jf = jf[None, :]
     if dt_gamma <= 0.0:
         return t0 + jf * dt_min
     a = dt_min / dt_gamma  # below: uniform dt_min
@@ -140,9 +143,95 @@ def grid_cell_index(
     )
 
 
+def _coarse_cascade_map(b_c: float, bound: float, hc: int) -> np.ndarray:
+    """[hc, hc] 0/1 matrix mapping cascade-cube coarse cells (cube [-b_c, b_c])
+    onto global coarse cells (cube [-bound, bound]), per dimension.  Entry
+    (i, j) = 1 iff cascade cell i's world interval overlaps global cell j."""
+    import numpy as np
+
+    M = np.zeros((hc, hc), np.float32)
+    w_c = 2.0 * b_c / hc
+    for i in range(hc):
+        x0 = -b_c + i * w_c
+        x1 = x0 + w_c
+        g0 = int(np.floor((x0 + bound) / (2.0 * bound) * hc + 1e-6))
+        g1 = int(np.ceil((x1 + bound) / (2.0 * bound) * hc - 1e-6)) - 1
+        M[i, max(0, g0) : min(hc, g1 + 1)] = 1.0
+    return M
+
+
+def build_coarse_occupancy(
+    bitfield: jax.Array,
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    halfext: float,
+    hc: int = 16,
+) -> jax.Array:
+    """Cascade-union dilated coarse occupancy for group-level march probing.
+
+    Pools each cascade's [H^3] fine bits down to [hc^3], maps every cascade
+    cube into the single global coarse grid over [-bound, bound], ORs them,
+    and max-pool-dilates by ceil(halfext / coarse_cell) cells so that probing
+    the cell of a group's t-midpoint is conservative for every rung within
+    +-halfext of it (a displacement < d*cell crosses at most d cell
+    boundaries per axis).  Returns flat [hc^3] bool, linear cell order.
+
+    This replaces the CUDA marcher's per-rung DDA skipping
+    (raymarching.cu:378-427) with a two-level probe that XLA vectorizes:
+    rungs are probed in groups and only live groups pay fine probes.
+    """
+    H = grid_size
+    hc = min(hc, H)
+    if H % hc:
+        raise ValueError(f"grid_size {H} must be a multiple of coarse size {hc}")
+    r = H // hc
+    bits = (bitfield[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    bits = bits.reshape(cascades, hc, r, hc, r, hc, r)
+    pooled = bits.max(axis=(2, 4, 6)).astype(jnp.float32)  # [CAS, hc, hc, hc]
+
+    coarse = jnp.zeros((hc, hc, hc), jnp.float32)
+    for cas in range(cascades):
+        b_c = min(2.0**cas, bound)
+        if b_c >= bound:
+            coarse = coarse + pooled[cas]
+        else:
+            M = jnp.asarray(_coarse_cascade_map(b_c, bound, hc))
+            coarse = coarse + jnp.einsum("ijk,ia,jb,kc->abc", pooled[cas], M, M, M)
+
+    dil = max(1, int(math.ceil(halfext / (2.0 * bound / hc))))
+    w = 2 * dil + 1
+    coarse = jax.lax.reduce_window(
+        coarse, -jnp.inf, jax.lax.max, (w, w, w), (1, 1, 1), "SAME"
+    )
+    return (coarse > 0.5).reshape(-1)
+
+
+def _first_k_ranks(valid: jax.Array, kk: int):
+    """Branch-free binary search: slot k holds the first column s with
+    cumsum(valid)[s] >= k+1.  valid: [N, S] bool -> (found [N, kk] int32
+    clamped to S-1, counts [N] int32)."""
+    N, S = valid.shape
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    counts = rank[:, -1]
+    want = jnp.arange(1, kk + 1, dtype=jnp.int32)[None, :]
+    lo = jnp.zeros((N, kk), jnp.int32)
+    hi = jnp.full((N, kk), S, jnp.int32)
+    for _ in range(max(1, S.bit_length())):
+        mid = (lo + hi) >> 1
+        r = jnp.take_along_axis(rank, jnp.minimum(mid, S - 1), axis=1)
+        go_right = r < want
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.minimum(lo, S - 1), counts
+
+
 @partial(
     jax.jit,
-    static_argnames=("bound", "cascades", "grid_size", "dt_gamma", "max_steps", "K"),
+    static_argnames=(
+        "bound", "cascades", "grid_size", "dt_gamma", "max_steps", "K", "group",
+    ),
 )
 def march_rays(
     rays_o: jax.Array,  # [N, 3]
@@ -158,6 +247,7 @@ def march_rays(
     max_steps: int = 1024,
     K: int = 128,
     noise: jax.Array | None = None,  # [N] in [0,1), perturb fraction of first dt
+    group: int = 0,  # >0: two-level coarse-grouped march (see below)
 ) -> MarchResult:
     N = rays_o.shape[0]
     S = max_steps
@@ -170,6 +260,13 @@ def march_rays(
     if noise is not None:
         dt0 = jnp.clip(t0 * dt_gamma, dt_min, dt_max)
         t0 = t0 + dt0 * noise.astype(jnp.float32)
+
+    if group > 0:
+        return _march_rays_grouped(
+            o, d, t0, fars.astype(jnp.float32), bitfield,
+            bound=bound, cascades=cascades, grid_size=grid_size,
+            dt_gamma=dt_gamma, max_steps=max_steps, K=K, group=group,
+        )
 
     j = jnp.arange(S, dtype=jnp.int32)
     ts = _t_ladder(t0, j, dt_gamma, dt_min, dt_max)  # [N, S]
@@ -243,6 +340,115 @@ def march_rays(
         dts=jnp.where(maskf, dt_sel, zero),
         gaps=gaps,
         ts=jnp.where(maskf, t_sel, zero),
+        mask=maskf,
+        counts=counts,
+        next_t=next_t,
+    )
+
+
+def _march_rays_grouped(
+    o, d, t0, fars, bitfield, *,
+    bound, cascades, grid_size, dt_gamma, max_steps, K, group,
+) -> MarchResult:
+    """Two-level march: probe the ladder in groups of `group` rungs against a
+    dilated coarse occupancy grid, then fine-probe only the first K/group
+    live groups per ray.
+
+    vs the flat path: the [N, S] ladder/position/probe apparatus (S = 512-1024
+    rungs) shrinks to [N, S/g] coarse probes + [N, K] fine work — the TPU
+    analogue of the CUDA marcher's empty-space DDA skip
+    (raymarching.cu:378-427), measured ~4-5x cheaper at bench shapes.
+
+    Budget semantics differ from the flat path under overflow: the flat path
+    keeps the first K *occupied* rungs; this path keeps all rungs of the first
+    K/g *coarse-live* groups (some of which fine-probe empty).  Both resume
+    exactly at the first unprocessed rung/group via next_t, so iterative eval
+    converges to the same integral.
+    """
+    N = o.shape[0]
+    S = max_steps
+    g = group
+    if S % g or K % g:
+        raise ValueError(f"max_steps {S} and K {K} must be multiples of group {g}")
+    G = S // g
+    Gk = K // g
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+
+    halfext = 0.5 * g * dt_max
+    hc = min(16, grid_size)
+    coarse = build_coarse_occupancy(
+        bitfield, bound=bound, cascades=cascades, grid_size=grid_size,
+        halfext=halfext, hc=hc,
+    )
+
+    # ---- coarse stage: one probe at each group's t-midpoint ---------------
+    jg = jnp.arange(G, dtype=jnp.int32) * g
+    t_lo = _t_ladder(t0, jg, dt_gamma, dt_min, dt_max)  # [N, G]
+    t_hi = _t_ladder(t0, jg + (g - 1), dt_gamma, dt_min, dt_max)
+    tc = 0.5 * (t_lo + t_hi)
+    cix = []
+    for c in range(3):
+        p = jnp.clip(o[:, c : c + 1] + tc * d[:, c : c + 1], -bound, bound)
+        cix.append(
+            jnp.clip(
+                jnp.floor((p + bound) / (2.0 * bound) * hc), 0.0, float(hc - 1)
+            ).astype(jnp.int32)
+        )
+    ccell = (cix[0] * hc + cix[1]) * hc + cix[2]
+    live = jnp.take(coarse, ccell.reshape(-1)).reshape(N, G)
+    live = live & (t_lo < fars[:, None])
+
+    # ---- select the first Gk live groups (+1 for the resume point) --------
+    found, live_counts = _first_k_ranks(live, Gk + 1)
+    grp_sel = found[:, :Gk]  # [N, Gk]
+    grp_valid = live_counts[:, None] >= jnp.arange(1, Gk + 1, dtype=jnp.int32)[None, :]
+
+    # ---- fine stage: ladder + occupancy probe on selected rungs only ------
+    jsel = (grp_sel[:, :, None] * g + jnp.arange(g, dtype=jnp.int32)).reshape(N, K)
+    ts = _t_ladder(t0, jsel, dt_gamma, dt_min, dt_max)  # [N, K]
+    dts = (
+        jnp.clip(ts * dt_gamma, dt_min, dt_max)
+        if dt_gamma > 0
+        else jnp.full_like(ts, dt_min)
+    )
+    px = jnp.clip(o[:, 0:1] + ts * d[:, 0:1], -bound, bound)
+    py = jnp.clip(o[:, 1:2] + ts * d[:, 1:2], -bound, bound)
+    pz = jnp.clip(o[:, 2:3] + ts * d[:, 2:3], -bound, bound)
+    mx = jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+    lvl = mip_level_from_max(mx, dts, cascades, grid_size)
+    cell = grid_cell_index_comp(px, py, pz, lvl, bound, cascades, grid_size)
+    occ = bitfield_probe(bitfield, cell.reshape(-1)).reshape(N, K)
+    gvalid = jnp.repeat(grp_valid, g, axis=1)  # [N, K]
+    maskf = occ & (ts < fars[:, None]) & gvalid
+    counts = maskf.sum(axis=-1).astype(jnp.int32)
+
+    # gap = advance since the previous VALID sample (invalid rungs are
+    # interleaved here, unlike the flat path's compacted slab)
+    t_post = ts + dts
+    run = jax.lax.cummax(jnp.where(maskf, t_post, -jnp.inf), axis=1)
+    prev = jnp.concatenate([t0[:, None], run[:, :-1]], axis=1)
+    prev = jnp.maximum(prev, t0[:, None])
+    gaps = jnp.where(maskf, t_post - prev, 0.0)
+
+    # resume at the (Gk+1)-th live group's first rung; else past the ladder
+    t_last = _t_ladder(t0, jnp.array([S - 1], jnp.int32), dt_gamma, dt_min, dt_max)[:, 0]
+    dt_last = jnp.clip(t_last * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else dt_min
+    ladder_end = t_last + dt_last
+    resume_t = _t_ladder(
+        t0, (found[:, Gk] * g)[:, None], dt_gamma, dt_min, dt_max
+    )[:, 0]
+    next_t = jnp.where(live_counts > Gk, resume_t, ladder_end)
+    next_t = jnp.minimum(next_t, fars)
+
+    dirs_cf = jnp.broadcast_to(d.T[:, :, None], (3, N, K))
+    zero = jnp.zeros((), jnp.float32)
+    return MarchResult(
+        xyzs_cf=jnp.where(maskf[None, :, :], jnp.stack([px, py, pz]), zero),
+        dirs_cf=dirs_cf,
+        dts=jnp.where(maskf, dts, zero),
+        gaps=gaps,
+        ts=jnp.where(maskf, ts, zero),
         mask=maskf,
         counts=counts,
         next_t=next_t,

@@ -56,6 +56,10 @@ class RenderConfig:
     density_thresh: float = 10.0  # occupancy threshold (main_nerf.py --density_thresh)
     num_steps: int = 128  # uniform-path coarse samples (reference --num_steps)
     upsample_steps: int = 128  # uniform-path importance samples (--upsample_steps)
+    # >0: two-level coarse-grouped march (ops/march.py _march_rays_grouped) —
+    # the TPU analogue of the CUDA marcher's empty-space skip
+    # (raymarching.cu:378-427).  0 = flat probe-every-rung path.
+    march_group: int = 0
     # global sample budget M (as a fraction of N*K) for train-time compaction —
     # the reference's mean_count semantics (raymarching.py:200-232): only the
     # first M valid samples are queried/backpropped, overflow is dropped.
@@ -140,6 +144,7 @@ def render_rays_train(
         rays_o, rays_d, nears, fars, bitfield,
         bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
         dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=cfg.K, noise=noise,
+        group=cfg.march_group,
     )
 
     if cfg.compact_fraction < 1.0:
@@ -231,6 +236,7 @@ def render_rays_eval(
             rays_o, rays_d, rays_t, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=K,
+            group=cfg.march_group if K % max(cfg.march_group, 1) == 0 else 0,
         )
         out = field.sigma_rgb(
             params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
