@@ -66,7 +66,11 @@ def main():
     t_start = time.time()
     ds = get_dataset()
     log(f"dataset ready {time.time()-t_start:.1f}s")
-    model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16)
+    # hashgrid_window = binned Pallas MXU encoder (round-2 hot path);
+    # TNGP_BENCH_ENCODING=hashgrid falls back to the golden round-1 path
+    encoding = os.environ.get("TNGP_BENCH_ENCODING", "hashgrid_window")
+    log(f"encoding: {encoding}")
+    model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16, encoding=encoding)
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / np.sqrt(3))
     field = FieldFns.from_model(model)
@@ -158,6 +162,17 @@ def main():
         img = np.concatenate(pieces).reshape(H, W, 3)
         mse = float(np.mean((img - np.asarray(images[0])) ** 2))
         log(f"eval view PSNR after warmup+{n_timed} steps: {-10*np.log10(max(mse,1e-12)):.2f} dB")
+        # eval throughput (reference: 7.8 it/s at 800x800 on V100, readme.md:211).
+        # A different view than the PSNR pass — identical input buffers would be
+        # served from the axon result cache (CLAUDE.md benchmarking traps).
+        o2, d2 = full_image_rays(poses[1], intr, H, W)
+        te0 = time.time()
+        for s in range(0, o2.shape[0], 4096):
+            out = eval_fn(params, o2[s:s+4096], d2[s:s+4096], grid.bitfield)
+        jax.block_until_ready(out)
+        eval_rays_s = o2.shape[0] / (time.time() - te0)
+        log(f"eval throughput: {eval_rays_s:,.0f} rays/s "
+            f"({eval_rays_s / (H * W):.2f} frames/s at {H}x{W})")
     except Exception as e:  # never fail the metric on the sanity check
         log(f"eval render failed: {type(e).__name__}: {e}")
 

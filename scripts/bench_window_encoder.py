@@ -1,0 +1,110 @@
+"""Microbench: binned window encoder vs the golden hash encoder on the chip.
+
+Run on the real TPU (no other TPU process!):
+    JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python scripts/bench_window_encoder.py
+
+Benchmark hygiene (CLAUDE.md): iterations are chained through a data
+dependency (the axon tunnel memoizes identical-input executions) and the full
+result is returned and blocked on.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tngp.kernels.window_encoder import bin_samples, window_encode_binned
+from tngp.ops.hashgrid import HashGridSpec, hash_encode_cf_vjp
+from tngp.ops.window_table import WindowSpec
+
+M = 131072
+ITERS = 10
+
+
+def timeit(fn, *args, iters=ITERS, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    for _ in range(iters - 1):
+        out = fn(*args[:-1], out[1] if isinstance(out, tuple) else args[-1])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    print("backend:", jax.default_backend())
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.uniform(k1, (3, M))
+
+    wspec = WindowSpec.create(desired_resolution=2048)
+    gspec = HashGridSpec.create(desired_resolution=2048)
+    wtab = wspec.init_table_win(k2)  # window-layout parameter (kernel native)
+    gtab = gspec.init_table(k3)
+    print(f"window table rows: {wspec.total_rows}  golden rows: {gspec.total_params}")
+
+    # --- binning alone ------------------------------------------------------
+    @jax.jit
+    def bin_step(x, salt):
+        xs = (x + salt * 1e-6) % 1.0
+        dest, perm, tob = bin_samples(xs)
+        return dest.sum() + perm.sum() + tob.sum(), salt + 1.0
+
+    t = timeit(bin_step, x, jnp.float32(0.0))
+    print(f"bin_samples:            {t*1e3:8.2f} ms")
+
+    for name, mxu_f32 in (("f32", True), ("bf16", False)):
+        @jax.jit
+        def fwd_step(x, salt):
+            xs = (x + salt * 1e-6) % 1.0
+            out = window_encode_binned(xs, wtab, wspec, 512, mxu_f32, False)
+            return out, salt + 1.0
+
+        t = timeit(fwd_step, x, jnp.float32(0.0))
+        print(f"binned fwd   ({name}):    {t*1e3:8.2f} ms  "
+              f"({M/t/1e6:.1f} M samples/s)")
+
+        @jax.jit
+        def fb_step(x, salt):
+            xs = (x + salt * 1e-6) % 1.0
+
+            def loss(tab):
+                out = window_encode_binned(xs, tab, wspec, 512, mxu_f32, False)
+                return jnp.sum(out * (xs[0] + salt)[None, :])
+
+            l, g = jax.value_and_grad(loss)(wtab)
+            return l + g.sum(), salt + 1.0
+
+        t = timeit(fb_step, x, jnp.float32(0.0))
+        print(f"binned fwd+bwd ({name}):  {t*1e3:8.2f} ms  "
+              f"({M/t/1e6:.1f} M samples/s)")
+
+    # --- golden (round-1) encoder for comparison ----------------------------
+    @jax.jit
+    def gfwd_step(x, salt):
+        xs = (x + salt * 1e-6) % 1.0
+        out = hash_encode_cf_vjp(xs, gtab, gspec)
+        return out, salt + 1.0
+
+    t = timeit(gfwd_step, x, jnp.float32(0.0), iters=3)
+    print(f"golden fwd:             {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def gfb_step(x, salt):
+        xs = (x + salt * 1e-6) % 1.0
+
+        def loss(tab):
+            out = hash_encode_cf_vjp(xs, tab, gspec)
+            return jnp.sum(out * (xs[0] + salt)[None, :])
+
+        l, g = jax.value_and_grad(loss)(gtab)
+        return l + g.sum(), salt + 1.0
+
+    t = timeit(gfb_step, x, jnp.float32(0.0), iters=3)
+    print(f"golden fwd+bwd:         {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

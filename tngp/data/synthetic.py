@@ -110,6 +110,64 @@ def make_synthetic_dataset(
     )
 
 
+def make_hard_field(seed: int = 0, n_shapes: int = 10, sharpness: float = 80.0) -> FieldFns:
+    """Hard benchmark scene: solid sharp-surface shapes with high-frequency
+    procedural textures (VERDICT: quality gate needs a harder scene than the
+    soft blobs — sharp boundaries stress the marcher, fine texture stresses
+    the fine hash levels)."""
+    rng = np.random.default_rng(seed)
+    centers = jnp.asarray(rng.uniform(-0.55, 0.55, (n_shapes, 3)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(0.08, 0.22, (n_shapes,)), jnp.float32)
+    base_col = jnp.asarray(rng.uniform(0.15, 0.95, (n_shapes, 3)), jnp.float32)
+    tex_freq = jnp.asarray(rng.uniform(12.0, 42.0, (n_shapes, 3)), jnp.float32)
+    tex_phase = jnp.asarray(rng.uniform(0, 2 * np.pi, (n_shapes, 3)), jnp.float32)
+    # exponent p in [2, 6]: sphere -> rounded box (superellipsoid distance)
+    powr = jnp.asarray(rng.uniform(2.0, 6.0, (n_shapes,)), jnp.float32)
+
+    def _occupancy(x_cf):
+        """[3, B] -> per-shape soft indicator [n, B] with sharp falloff."""
+        d = jnp.abs(x_cf[:, None, :] - centers.T[:, :, None])  # [3, n, B]
+        p = powr[None, :, None]
+        dist = jnp.sum(d**p, axis=0) ** (1.0 / powr[:, None])  # [n, B]
+        return jax.nn.sigmoid(sharpness * (radii[:, None] - dist) / radii[:, None])
+
+    def density(params, x_cf):
+        occ = _occupancy(x_cf)
+        return 250.0 * jnp.sum(occ, axis=0)
+
+    def sigma_rgb(params, x_cf, d_cf):
+        occ = _occupancy(x_cf)  # [n, B]
+        sig = 250.0 * jnp.sum(occ, axis=0)
+        # high-frequency per-shape texture: product of sinusoids over dims
+        ph = tex_freq.T[:, :, None] * x_cf[:, None, :] + tex_phase.T[:, :, None]
+        tex = 0.62 + 0.38 * jnp.prod(jnp.sin(ph), axis=0)  # [n, B]
+        cols = base_col.T[:, :, None] * tex[None, :, :]  # [3, n, B]
+        wsum = jnp.sum(occ, axis=0, keepdims=True) + 1e-6
+        rgb_cf = jnp.einsum("cnb,nb->cb", cols, occ) / wsum
+        return sig, jnp.clip(rgb_cf, 0.0, 1.0)
+
+    return FieldFns(sigma_rgb=sigma_rgb, density=density)
+
+
+def make_hard_dataset(
+    n_frames: int = 100,
+    H: int = 256,
+    W: int = 256,
+    seed: int = 0,
+    bound: float = 1.0,
+    num_steps: int = 1024,
+) -> NeRFDataset:
+    """100-view 256^2 textured hard scene (the round-2 quality benchmark)."""
+    field = make_hard_field(seed)
+    poses = orbit_poses(n_frames)
+    focal = 0.9 * W
+    intrinsics = np.array([focal, focal, W / 2, H / 2], np.float32)
+    images = render_gt_images(field, poses, intrinsics, H, W, bound, num_steps)
+    return NeRFDataset(
+        poses=poses, intrinsics=intrinsics, H=H, W=W, images=images.astype(np.float32)
+    )
+
+
 def make_time_blob_field(t: float, seed: int = 0, n_blobs: int = 4) -> FieldFns:
     """Analytic dynamic scene: blobs orbit the origin as a function of time."""
     base = make_blob_field(seed, n_blobs)

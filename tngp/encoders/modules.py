@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..ops import HashGridSpec, freq_encode, hash_encode, sh_encode
 from ..ops.hashgrid import hash_encode_cf_vjp
 from ..ops.sh import sh_encode_cf
+from ..ops.window_table import WindowSpec, window_encode_ref, window_unview
 
 
 class GridEncoder(nn.Module):
@@ -50,6 +51,53 @@ class GridEncoder(nn.Module):
         x01 = (x_cf + bound) / (2.0 * bound)
         # custom-VJP path: Pallas scatter-add table gradient on TPU
         return hash_encode_cf_vjp(x01, self.embeddings, self.spec)
+
+
+class WindowGridEncoder(nn.Module):
+    """Multiresolution grid encoder over the TPU windowed table layout
+    (ops/window_table.py).  Same role as GridEncoder but parameterized for the
+    binned Pallas MXU path (kernels/window_encoder.py) — the round-2 answer to
+    the reference's gridencoder.cu hot loop.
+
+    On TPU `cf` runs the binned Pallas kernels; elsewhere the pure-XLA
+    reference (identical semantics, XLA-autodiff gradients).
+
+    The parameter lives in the transposed window layout [n_windows, C, 128,
+    64] (`WindowSpec.init_table_win`) — the kernels' native operand format —
+    so the per-step tile-major fat-table build is a pure row gather rather
+    than a 50 MB transpose.
+    """
+
+    spec: WindowSpec
+    param_dtype: jnp.dtype = jnp.float32
+    block: int = 512
+    mxu_f32: bool = False  # bf16 matmuls by default on the hot path
+
+    @property
+    def output_dim(self) -> int:
+        return self.spec.output_dim
+
+    def setup(self):
+        self.embeddings = self.param(
+            "embeddings", lambda key: self.spec.init_table_win(key, self.param_dtype)
+        )
+
+    def __call__(self, x: jax.Array, bound: float = 1.0) -> jax.Array:
+        prefix = x.shape[:-1]
+        out = self.cf(x.reshape(-1, 3).T, bound=bound)
+        return out.T.reshape(*prefix, self.output_dim)
+
+    def cf(self, x_cf: jax.Array, bound: float = 1.0) -> jax.Array:
+        x01 = (x_cf + bound) / (2.0 * bound)
+        if jax.default_backend() == "tpu":
+            from ..kernels.window_encoder import window_encode_binned
+
+            return window_encode_binned(
+                x01, self.embeddings, self.spec, self.block, self.mxu_f32, False
+            )
+        return window_encode_ref(
+            x01, window_unview(self.embeddings, self.spec), self.spec
+        )
 
 
 class SHEncoder(nn.Module):
@@ -101,6 +149,7 @@ def get_encoder(
     desired_resolution: int = 2048,
     align_corners: bool = False,
     interpolation: str = "linear",
+    input_grad: bool = True,
     **kwargs,
 ) -> Tuple[nn.Module, int]:
     """Name -> (module, output_dim), mirroring encoding.py:45-103."""
@@ -113,6 +162,21 @@ def get_encoder(
     if encoding in ("sphere_harmonics", "spherical_harmonics", "sh"):
         enc = SHEncoder(degree=degree)
         return enc, enc.output_dim
+    if encoding == "hashgrid_window":
+        # TPU windowed-table layout (binned Pallas MXU path); 3-D only
+        if input_dim != 3:
+            raise ValueError("hashgrid_window supports input_dim=3 only")
+        wspec = WindowSpec.create(
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=desired_resolution,
+            align_corners=align_corners,
+            interpolation=interpolation,
+        )
+        enc = WindowGridEncoder(spec=wspec)
+        return enc, wspec.output_dim
     if encoding in ("hashgrid", "tiledgrid"):
         spec = HashGridSpec.create(
             input_dim=input_dim,
@@ -124,6 +188,7 @@ def get_encoder(
             gridtype="hash" if encoding == "hashgrid" else "tiled",
             align_corners=align_corners,
             interpolation=interpolation,
+            input_grad=input_grad,
         )
         enc = GridEncoder(spec=spec)
         return enc, spec.output_dim

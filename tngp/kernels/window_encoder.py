@@ -1,0 +1,367 @@
+"""Binned window encoder — Pallas MXU kernels for the windowed hash table.
+
+The TPU replacement for gridencoder.cu's gather/atomic-scatter hot loop
+(gridencoder/src/gridencoder.cu:88-337).  Semantics are defined by
+`tngp/ops/window_table.py` (window_encode_ref is the golden).
+
+Pipeline (all static shapes):
+  1. `bin_samples`: counting-sort the M samples into 64 spatial tiles
+     (histogram + cumsum ranks — pure vector ops; the permutation is realized
+     with one Pallas scatter pass).  Per-tile regions are padded to the
+     compute block size so every block is tile-pure.
+  2. In XLA, gather the per-tile windows of ALL levels into a tile-major
+     "fat table" `[64, L, C, 64, 128]` (1024 window-granular rows, ~0.2 ms —
+     row gathers are the fast XLA indexing path).  This lets one grid step
+     process every level of a block, amortizing per-step overhead 16x
+     (measured: a (NB, L) grid spent ~9 us/step on overhead = 46 ms/pass).
+  3. forward kernel, grid (NB,): per step DMA the block's fat slice (all
+     levels) into VMEM; per level build `onehot(row>>7) * w` `[8*S, 64]` and
+     matmul against the window (`[8*S, 64] @ [64, 128]` on the MXU); a
+     lane-onehot reduce selects `row & 127`.  Level constants are static
+     Python — no in-kernel level dispatch.
+  4. backward kernel, grid (NB,): the fat-table gradient for a tile is the
+     transposed matmul `onehot_hi^T @ (onehot_lane * w * g)` per level.
+     Blocks are tile-sorted, so all blocks of one tile are consecutive grid
+     steps — the canonical Pallas revisit-accumulate pattern, fp32,
+     deterministic (no atomics, unlike the reference's atomicAdd at
+     gridencoder.cu:246-337).  An XLA segment-sum folds the fat gradient
+     back onto shared windows (levels with n_win < 64).
+
+Layout rule: every sample-major array is row-major `[M_pad, *]` (samples on
+sublanes) because the onehot matmuls need samples as matrix rows — this keeps
+the kernels free of lane<->sublane relayouts.
+
+Input gradients (dy_dx) are not computed by this path — positions are
+non-differentiable in the NGP training paths that use it (D-NeRF's deform
+backprop stays on the golden encoder, ops/hashgrid.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.window_table import (
+    N_TILES,
+    WIN_HI,
+    WIN_LANES,
+    WIN_ROWS,
+    WindowSpec,
+    sample_tiles,
+)
+
+# fast_hash primes as wrapping int32 (same bit patterns as the uint32 math)
+_P1_I32 = np.int32(np.uint32(2654435761).astype(np.int64) - (1 << 32))
+_P2_I32 = np.int32(805459861)
+
+DEFAULT_BLOCK = 512
+
+
+# ---------------------------------------------------------------------------
+# binning (counting sort into tile-pure blocks)
+# ---------------------------------------------------------------------------
+
+
+def padded_size(M: int, block: int) -> int:
+    """Static upper bound on the tile-padded sample count."""
+    return -(-(M + N_TILES * (block - 1)) // block) * block
+
+
+@partial(jax.jit, static_argnames=("block",))
+def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
+    """Counting-sort M samples by spatial tile, tile regions padded to `block`.
+
+    x01_cf: [3, M] in [0,1].  Returns (dest [M] int32 sorted position of each
+    sample, perm [M_pad] int32 inverse map with sentinel M for padding slots,
+    tob [NB] int32 tile id per block).
+    """
+    M = x01_cf.shape[1]
+    M_pad = padded_size(M, block)
+    NB = M_pad // block
+
+    key = sample_tiles(x01_cf)  # [M]
+    onehot = (key[:, None] == jnp.arange(N_TILES, dtype=jnp.int32)[None, :]).astype(
+        jnp.int32
+    )
+    cum = jnp.cumsum(onehot, axis=0)  # [M, 64]
+    counts = cum[-1]  # [64]
+    padded = -(-counts // block) * block
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )  # [64] exclusive, block-aligned
+    within = jnp.take_along_axis(cum, key[:, None], axis=1)[:, 0] - 1
+    dest = jnp.take(starts, key) + within  # [M], unique, < M_pad
+
+    if jax.default_backend() == "tpu":
+        from .scatter import scatter_add
+
+        # realize the inverse permutation with the Pallas scatter (values are
+        # exact in f32: |j - M| < 2^24)
+        delta = (jnp.arange(M, dtype=jnp.float32) - M)[:, None]
+        perm = (M + scatter_add(dest, delta, M_pad)[:, 0]).astype(jnp.int32)
+    else:
+        perm = jnp.full((M_pad,), M, jnp.int32).at[dest].set(
+            jnp.arange(M, dtype=jnp.int32)
+        )
+
+    b_start = jnp.arange(NB, dtype=jnp.int32) * block
+    tob = jnp.sum(
+        (starts[None, :] <= b_start[:, None]).astype(jnp.int32), axis=1
+    ) - 1  # [NB], nondecreasing
+    return dest, perm, tob
+
+
+def _gather_rows_pad(x_rows: jax.Array, perm: jax.Array) -> jax.Array:
+    """[M, C] -> [M_pad, C] reordered by perm (sentinel M -> zeros)."""
+    M = x_rows.shape[0]
+    xp = jnp.concatenate([x_rows, jnp.zeros((1, x_rows.shape[1]), x_rows.dtype)])
+    return jnp.take(xp, jnp.minimum(perm, M), axis=0)
+
+
+def _wid_map(spec: WindowSpec) -> np.ndarray:
+    """[N_TILES, L] static global window id per (tile, level)."""
+    _, _, _, twin, woff = spec.const_tables()
+    return (woff[None, :] + twin.T).astype(np.int32)  # [64, L]
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int):
+    """In-kernel geometry for one (static) level from an `[8, S]` xyz block
+    (rows x,y,z,valid — samples on LANES).  Returns (hi [1,8S] i32,
+    lo [1,8S] i32, w [1,8S] f32) corner-major along lanes (col = corner*S +
+    sample), weights folded with the validity row.
+
+    Everything here is a [1, S]-row op: full lane utilization, no narrow
+    column intermediates (a [S, 1] op pays a 128x lane-padding tax)."""
+    scale = float(spec.level_scale(level))
+    side = int(spec.level_side(level))
+    dense = spec.level_dense(level)
+    shift = 0.0 if spec.align_corners else 0.5
+    pos = [xyz_blk[d : d + 1, :] * scale + shift for d in range(3)]  # [1,S]
+    vrow = xyz_blk[3:4, :]
+    pg = [jnp.floor(p) for p in pos]
+    frac = [p - g for p, g in zip(pos, pg)]
+    if spec.interpolation == "smoothstep":
+        frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+    pgi = [g.astype(jnp.int32) for g in pg]
+    his, los, ws = [], [], []
+    for k in range(8):
+        cc = [pgi[d] + ((k >> d) & 1) for d in range(3)]
+        if dense:
+            row = cc[0] + cc[1] * side + cc[2] * (side * side)
+        else:
+            row = (cc[0] ^ (cc[1] * _P1_I32) ^ (cc[2] * _P2_I32)) & (WIN_ROWS - 1)
+        his.append(row >> 7)
+        los.append(row & (WIN_LANES - 1))
+        w = vrow
+        for d in range(3):
+            w = w * (frac[d] if (k >> d) & 1 else 1.0 - frac[d])
+        ws.append(w)
+    hi = jnp.concatenate(his, axis=1)  # [1, 8S]
+    lo = jnp.concatenate(los, axis=1)
+    w = jnp.concatenate(ws, axis=1)
+    return hi, lo, w
+
+
+def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
+    L, C = spec.num_levels, spec.level_dim
+    R = 8 * S
+
+    def kernel(tob_ref, xyz_ref, fat_ref, out_ref):
+        xyz = xyz_ref[:]  # [8, S]
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (WIN_HI, R), 0)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, R), 0)
+        rows = []
+        for l in range(L):
+            hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
+            At = jnp.where(hrow == hi, w, 0.0).astype(mxu_dtype)  # [64, 8S]
+            selm = srow == lo  # [128, 8S]
+            for c in range(C):
+                win_t = fat_ref[0, l, c].astype(mxu_dtype)  # [128, 64]
+                g = jnp.dot(win_t, At, preferred_element_type=jnp.float32)
+                # lane-select row lo via sublane one-hot reduce -> [1, 8S]
+                val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
+                out_c = val[:, 0:S]
+                for k in range(1, 8):  # static lane slices (512-aligned)
+                    out_c = out_c + val[:, k * S : (k + 1) * S]
+                rows.append(out_c)
+        out_ref[:] = jnp.concatenate(rows, axis=0)  # [LC, S]
+
+    return kernel
+
+
+def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
+    L, C = spec.num_levels, spec.level_dim
+    R = 8 * S
+
+    def kernel(tob_ref, xyz_ref, g_ref, out_ref):
+        b = pl.program_id(0)
+        xyz = xyz_ref[:]  # [8, S]
+        g_blk = g_ref[:]  # [LC, S]
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (WIN_HI, R), 0)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, R), 0)
+        first = (b == 0) | (tob_ref[b] != tob_ref[jnp.maximum(b - 1, 0)])
+        for l in range(L):
+            hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
+            At = (hrow == hi).astype(mxu_dtype)  # [64, 8S] unweighted onehot
+            selm = srow == lo  # [128, 8S]
+            for c in range(C):
+                gc = g_blk[l * C + c : l * C + c + 1, :]  # [1, S]
+                coef = w * jnp.concatenate([gc] * 8, axis=1)  # [1, 8S]
+                Bt = jnp.where(selm, coef, 0.0).astype(mxu_dtype)  # [128, 8S]
+                gw_t = jax.lax.dot_general(
+                    Bt, At, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [128, 64] = grad window (transposed layout)
+
+                @pl.when(first)
+                def _():
+                    out_ref[0, l, c] = gw_t
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    out_ref[0, l, c] = out_ref[0, l, c] + gw_t
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _fwd_pallas(spec, xyz8, tob, fat, *, block, mxu_dtype, interpret):
+    L, C = spec.num_levels, spec.level_dim
+    M_pad = xyz8.shape[1]
+    NB = M_pad // block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((8, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, L, C, WIN_LANES, WIN_HI),
+                lambda b, tob: (tob[b], 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (L * C, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _make_fwd_kernel(spec, block, mxu_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L * C, M_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(tob, xyz8, fat)
+
+
+def _bwd_pallas(spec, xyz8, tob, g_sorted, *, block, mxu_dtype, interpret):
+    L, C = spec.num_levels, spec.level_dim
+    M_pad = xyz8.shape[1]
+    NB = M_pad // block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((8, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L * C, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L, C, WIN_LANES, WIN_HI),
+            lambda b, tob: (tob[b], 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    fat_grad = pl.pallas_call(
+        _make_bwd_kernel(spec, block, mxu_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (N_TILES, L, C, WIN_LANES, WIN_HI), jnp.float32
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(tob, xyz8, g_sorted)
+    # tiles never visited by any block hold uninitialized memory -> zero them
+    visited = jnp.zeros((N_TILES,), jnp.int32).at[tob].set(1)
+    return jnp.where(visited[:, None, None, None, None] == 1, fat_grad, 0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def window_encode_binned(
+    x01_cf: jax.Array,
+    table_win: jax.Array,
+    spec: WindowSpec,
+    block: int = DEFAULT_BLOCK,
+    mxu_f32: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed grid encode via the binned Pallas path.
+
+    x01_cf: [3, M] in [0,1]; table_win: [NW, C, 128, 64] window-layout
+    parameter (window_view of the canonical [total_rows, C]).  Returns
+    [L*C, M] f32 features (level-major).  Table gradients flow (in window
+    layout); input gradients are zero (documented non-goal of this path).
+    """
+    out, _ = _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret)
+    return out
+
+
+def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret):
+    mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
+    M = x01_cf.shape[1]
+    dest, perm, tob = bin_samples(x01_cf, block=block)
+    M_pad = perm.shape[0]
+    xyz = _gather_rows_pad(x01_cf.astype(jnp.float32).T, perm)  # [M_pad, 3]
+    valid = (perm < M).astype(jnp.float32)[:, None]
+    xyz8 = jnp.concatenate(
+        [xyz, valid, jnp.zeros((M_pad, 4), jnp.float32)], axis=1
+    ).T  # [8, M_pad] channels-first (samples on lanes)
+    # tile-major fat table: all levels' windows per tile — a pure row gather
+    # (the parameter already lives in window layout)
+    wid = _wid_map(spec)  # [64, L] static
+    L, C = spec.num_levels, spec.level_dim
+    fat = jnp.take(
+        table_win.astype(jnp.float32), jnp.asarray(wid.reshape(-1)), axis=0
+    ).reshape(N_TILES, L, C, WIN_LANES, WIN_HI)
+    feats_sorted = _fwd_pallas(
+        spec, xyz8, tob, fat, block=block, mxu_dtype=mxu_dtype, interpret=interpret
+    )  # [LC, M_pad]
+    feats = jnp.take(feats_sorted.T, dest, axis=0).T  # [LC, M] unsort
+    return feats, (xyz8, perm, tob, M)
+
+
+def _binned_bwd(spec, block, mxu_f32, interpret, res, g):
+    mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
+    xyz8, perm, tob, M = res
+    g_sorted = _gather_rows_pad(g.astype(jnp.float32).T, perm).T  # [LC, M_pad]
+    fat_grad = _bwd_pallas(
+        spec, xyz8, tob, g_sorted, block=block, mxu_dtype=mxu_dtype,
+        interpret=interpret,
+    )  # [64, L, C, 128, 64]
+    # fold shared windows: segment-sum the 64*L fat rows onto global windows
+    wid = jnp.asarray(_wid_map(spec).reshape(-1))  # [64*L]
+    L, C = spec.num_levels, spec.level_dim
+    flat = fat_grad.reshape(N_TILES * L, C * WIN_LANES * WIN_HI)
+    gwin = jax.ops.segment_sum(flat, wid, num_segments=spec.n_windows)
+    gtab_win = gwin.reshape(spec.n_windows, C, WIN_LANES, WIN_HI)
+    gx = jnp.zeros((3, M), jnp.float32)
+    return gx, gtab_win
+
+
+window_encode_binned.defvjp(_binned_fwd, _binned_bwd)

@@ -47,6 +47,9 @@ class NGPNetwork(nn.Module):
             base_resolution=self.base_resolution,
             log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound),
+            # positions come from the march and are never differentiated in
+            # any NGP training path — skip the dy_dx gather in the backward
+            input_grad=False,
         )
         self.sigma_net = MLP(
             hidden_dim=self.hidden_dim,
@@ -68,6 +71,7 @@ class NGPNetwork(nn.Module):
                 num_levels=4,
                 log2_hashmap_size=19,
                 desired_resolution=2048,
+                input_grad=False,  # sphere coords are non-differentiable
             )
             self.bg_net = MLP(
                 hidden_dim=self.hidden_dim_bg,

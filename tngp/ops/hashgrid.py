@@ -55,6 +55,12 @@ class HashGridSpec:
     gridtype: str = GRIDTYPE_HASH
     align_corners: bool = False
     interpolation: str = "linear"  # 'linear' | 'smoothstep'
+    # Whether the custom-VJP backward computes dL/dx (the CUDA dy_dx path,
+    # gridencoder.cu:196-241).  It costs a full extra table gather per level;
+    # paths whose positions are non-differentiable (NGP training: positions
+    # come from the march) should disable it rather than rely on XLA DCE
+    # across the custom_vjp boundary.  D-NeRF's deform backprop needs it.
+    input_grad: bool = True
 
     @staticmethod
     def create(
@@ -68,6 +74,7 @@ class HashGridSpec:
         gridtype: str = GRIDTYPE_HASH,
         align_corners: bool = False,
         interpolation: str = "linear",
+        input_grad: bool = True,
     ) -> "HashGridSpec":
         # desired_resolution overrides per_level_scale (grid.py:758-760)
         if desired_resolution is not None:
@@ -84,6 +91,7 @@ class HashGridSpec:
             gridtype=gridtype,
             align_corners=align_corners,
             interpolation=interpolation,
+            input_grad=input_grad,
         )
 
     # ---- static derived geometry -------------------------------------------------
@@ -326,6 +334,8 @@ def _hash_vjp_bwd(spec: HashGridSpec, res, g):
         size = spec.offsets[level + 1] - spec.offsets[level]
         grad_levels.append(scatter_add_auto(idx.reshape(-1), vals, size))
 
+        if not spec.input_grad:
+            continue
         # input gradient (dy_dx): dL/dfrac_d = sum_k gv_k * dw_k/dfrac_d
         vals_g = jnp.take(table_f, (idx + spec.offsets[level]).astype(jnp.int32), axis=0)
         gv = jnp.einsum("kbc,cb->kb", vals_g.reshape(1 << D, B, C), gl)  # [8, B]
