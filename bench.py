@@ -76,8 +76,12 @@ def main():
     field = FieldFns.from_model(model)
     # density_thresh 1.0: the synthetic blob scene has soft gaussian shells —
     # the lego-style default (10) culls them and caps reconstruction quality
+    # Flat dense march for training: the bench scene is dense (28% fine
+    # occupancy) so grouped-budget marching truncates rays and costs PSNR;
+    # march_dense skips the per-ray K slab entirely (the global M budget is
+    # the only compaction), saving the ~68 ms binary-search/packed-gather.
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128, min_near=0.05,
-                       compact_fraction=0.25, density_thresh=1.0)
+                       compact_fraction=0.25, density_thresh=1.0, march_dense=True)
 
     grid = create(cfg.cascades, cfg.grid_size)
     grid = mark_untrained_grid(

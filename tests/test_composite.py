@@ -135,3 +135,60 @@ def test_composite_early_stop_zeroes_tail():
     w = np.asarray(w)
     assert w[0, 2] == 0.0 and w[0, 3] == 0.0
     assert abs(np.asarray(ws)[0] - 1.0) < 1e-3
+
+
+def test_composite_stream_matches_slab():
+    """Stream compositor (segmented scans over compacted samples) reproduces
+    composite_rays_cf on the same sample set."""
+    from tngp.ops.compaction import compact_mask, gather_cf
+    from tngp.ops.composite import composite_rays_cf, composite_stream
+
+    rng = np.random.default_rng(11)
+    N, K = 24, 32
+    mask = rng.uniform(size=(N, K)) < 0.6
+    # make a few rays empty
+    mask[3] = False
+    mask[17] = False
+    sig = (rng.uniform(size=(N, K)) * 40).astype(np.float32) * mask
+    rgb = rng.uniform(size=(3, N, K)).astype(np.float32)
+    dts = np.full((N, K), 0.02, np.float32)
+    gaps = (rng.uniform(size=(N, K)).astype(np.float32) * 0.05) * mask
+
+    ws_s, depth_s, img_s, _ = composite_rays_cf(
+        jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(dts), jnp.asarray(gaps),
+        jnp.asarray(mask), 1e-4,
+    )
+
+    M_budget = int(mask.sum()) + 8  # generous: nothing dropped
+    comp = compact_mask(jnp.asarray(mask), M_budget)
+    ray_id = comp.sel.astype(jnp.int32) // K
+    sig_c = jnp.take(jnp.asarray(sig).reshape(-1), comp.sel)
+    rgb_c = gather_cf(jnp.asarray(rgb).reshape(3, -1), comp)
+    dt_c = jnp.take(jnp.asarray(dts).reshape(-1), comp.sel)
+    gap_c = jnp.take(jnp.asarray(gaps).reshape(-1), comp.sel)
+    ws, depth, img = composite_stream(
+        sig_c, rgb_c, dt_c, gap_c, ray_id, comp.sel_valid, N, 1e-4
+    )
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_s), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_s), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_s), rtol=1e-5, atol=1e-6)
+
+
+def test_composite_stream_grads_flow():
+    from tngp.ops.composite import composite_stream
+
+    rng = np.random.default_rng(12)
+    M, N = 64, 8
+    ray_id = jnp.asarray(np.sort(rng.integers(0, N, M)).astype(np.int32))
+    sig = jnp.asarray(rng.uniform(size=(M,)).astype(np.float32) * 20)
+    rgb = jnp.asarray(rng.uniform(size=(3, M)).astype(np.float32))
+    dt = jnp.full((M,), 0.03)
+    valid = jnp.asarray(rng.uniform(size=(M,)) < 0.9)
+
+    def loss(s, r):
+        ws, depth, img = composite_stream(s, r, dt, dt, ray_id, valid, N, 1e-4)
+        return jnp.sum(img**2) + jnp.sum(ws) + jnp.sum(depth)
+
+    gs, gr = jax.grad(loss, argnums=(0, 1))(sig, rgb)
+    assert np.isfinite(np.asarray(gs)).all() and np.isfinite(np.asarray(gr)).all()
+    assert float(jnp.abs(gs).sum()) > 0 and float(jnp.abs(gr).sum()) > 0

@@ -242,3 +242,92 @@ def test_march_slab_shapes_when_steps_below_budget():
     assert res.mask.shape == (N, K)
     assert int(res.mask.sum(axis=1).max()) <= S
     assert np.isfinite(np.asarray(res.ts)).all()
+
+# ---------------------------------------------------------------------------
+# slab-free dense march (march_rays_dense)
+# ---------------------------------------------------------------------------
+
+
+def test_march_dense_matches_slab_samples():
+    """Dense [N, S] march selects exactly the same valid (t, dt) set as the
+    slab path when K is large enough to hold everything."""
+    from tngp.ops import march_rays_dense
+
+    rng = np.random.default_rng(3)
+    C, H, bound, max_steps = 1, 16, 1.0, 256
+    grid = (rng.uniform(size=(C * H**3,)) < 0.3).astype(np.float32)
+    bitfield = jnp.asarray(np.asarray(packbits(jnp.asarray(grid), 0.5)))
+    N = 24
+    origins = rng.uniform(-2.5, -1.5, size=(N, 3)).astype(np.float32)
+    targets = rng.uniform(-0.5, 0.5, size=(N, 3)).astype(np.float32)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(origins), jnp.asarray(dirs), aabb, 0.05)
+
+    slab = march_rays(
+        jnp.asarray(origins), jnp.asarray(dirs), nears, fars, bitfield,
+        bound=bound, cascades=C, grid_size=H, max_steps=max_steps, K=max_steps,
+    )
+    dense = march_rays_dense(
+        jnp.asarray(origins), jnp.asarray(dirs), nears, fars, bitfield,
+        bound=bound, cascades=C, grid_size=H, max_steps=max_steps,
+    )
+    np.testing.assert_array_equal(np.asarray(dense.counts), np.asarray(slab.counts))
+    for n in range(N):
+        ms, md = np.asarray(slab.mask)[n], np.asarray(dense.mask)[n]
+        np.testing.assert_allclose(
+            np.asarray(dense.ts)[n][md], np.asarray(slab.ts)[n][ms], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.dts)[n][md], np.asarray(slab.dts)[n][ms], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.gaps)[n][md], np.asarray(slab.gaps)[n][ms],
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.xyzs_cf)[:, n, md], np.asarray(slab.xyzs_cf)[:, n, ms],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_render_train_dense_matches_slab():
+    """render_rays_train with march_dense=True reproduces the slab path's
+    image/depth when neither budget binds."""
+    from tngp.models import NGPNetwork
+    from tngp.render import FieldFns, RenderConfig, render_rays_train
+
+    rng = np.random.default_rng(5)
+    C, H, bound = 1, 16, 1.0
+    grid = (rng.uniform(size=(C * H**3,)) < 0.4).astype(np.float32)
+    bitfield = jnp.asarray(np.asarray(packbits(jnp.asarray(grid), 0.5)))
+    N = 16
+    origins = rng.uniform(-2.5, -1.5, size=(N, 3)).astype(np.float32)
+    targets = rng.uniform(-0.3, 0.3, size=(N, 3)).astype(np.float32)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    model = NGPNetwork(bound=bound, num_levels=4, log2_hashmap_size=12)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.ones((8, 3)) / np.sqrt(3.0)
+    )
+    field = FieldFns.from_model(model)
+
+    base = dict(bound=bound, grid_size=H, max_steps=128, min_near=0.05)
+    cfg_slab = RenderConfig(**base, K=128, compact_fraction=0.9)
+    cfg_dense = RenderConfig(**base, K=128, compact_fraction=0.9, march_dense=True)
+    o, d = jnp.asarray(origins), jnp.asarray(dirs)
+    out_s = render_rays_train(field, params, o, d, bitfield, cfg_slab)
+    out_d = render_rays_train(field, params, o, d, bitfield, cfg_dense)
+    assert bool(out_s["ray_mask"].all()) and bool(out_d["ray_mask"].all())
+    np.testing.assert_allclose(
+        np.asarray(out_d["image"]), np.asarray(out_s["image"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d["depth"]), np.asarray(out_s["depth"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d["weights_sum"]), np.asarray(out_s["weights_sum"]),
+        rtol=1e-4, atol=1e-5,
+    )

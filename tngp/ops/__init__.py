@@ -10,7 +10,7 @@ from .freq import freq_encode, freq_output_dim
 from .grid_utils import bitfield_probe, morton3d, morton3d_invert, packbits
 from .hashgrid import HashGridSpec, hash_encode, hash_encode_tv_grad
 from .losses import eff_distloss, huber_loss, mape_loss
-from .march import MarchResult, grid_cell_index, march_rays, mip_level
+from .march import MarchResult, grid_cell_index, march_rays, march_rays_dense, mip_level
 from .rays import near_far_from_aabb, sph_from_ray
 from .sampling import sample_pdf
 from .sh import sh_encode
@@ -34,6 +34,7 @@ __all__ = [
     "MarchResult",
     "grid_cell_index",
     "march_rays",
+    "march_rays_dense",
     "mip_level",
     "near_far_from_aabb",
     "sph_from_ray",

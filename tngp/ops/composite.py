@@ -27,6 +27,8 @@ nerf/renderer.py:380-382 (compositing always runs in fp32 under autocast).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -92,6 +94,102 @@ def composite_rays_cf(
     depth = (weights * t_cum).sum(axis=-1)
     image = jnp.einsum("nk,cnk->nc", weights, rgbs_cf.astype(jnp.float32))
     return weights_sum, depth, image, weights
+
+
+def _segmented_cumsum(vals: jax.Array, is_start: jax.Array) -> jax.Array:
+    """Per-segment inclusive prefix sum along the last axis.
+
+    vals: [C, M]; is_start: [M] bool marking segment heads.  Uses the
+    classic segmented-scan associative operator, so partial sums never
+    exceed per-segment magnitude — unlike `global cumsum - base`, which
+    catastrophically cancels at fp32 once the global prefix is ~1e4x the
+    segment values (M~131K compacted samples across thousands of rays).
+    """
+    f = is_start.astype(vals.dtype)[None, :]  # [1, M]
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return jnp.maximum(fa, fb), vb + va * (1.0 - fb)
+
+    _, out = jax.lax.associative_scan(combine, (jnp.broadcast_to(f, (1, vals.shape[1])), vals), axis=1)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _ray_scatter(idx: jax.Array, vals: jax.Array, num_rows: int) -> jax.Array:
+    """Deterministic out[idx[j]] += vals[j] with a gather VJP (Pallas on TPU)."""
+    from ..kernels.scatter import scatter_add_auto
+
+    return scatter_add_auto(idx, vals, num_rows)
+
+
+def _ray_scatter_fwd(idx, vals, num_rows):
+    return _ray_scatter(idx, vals, num_rows), idx
+
+
+def _ray_scatter_bwd(num_rows, idx, g):
+    return None, jnp.take(g, idx, axis=0)
+
+
+_ray_scatter.defvjp(_ray_scatter_fwd, _ray_scatter_bwd)
+
+
+def composite_stream(
+    sigmas: jax.Array,  # [M] compacted (ray-major order)
+    rgbs_cf: jax.Array,  # [3, M]
+    dts: jax.Array,  # [M]
+    gaps: jax.Array,  # [M] real t advance (for depth)
+    ray_id: jax.Array,  # [M] int32 nondecreasing ray of each sample
+    valid: jax.Array,  # [M] bool (False = padding slot)
+    n_rays: int,
+    T_thresh: float = 1e-4,
+):
+    """Composite directly on the globally-compacted sample stream.
+
+    Same math as composite_rays_cf but over ray-major compacted samples
+    (ops/compaction.py) instead of an [N, K] slab — skipping the
+    expand-to-slab gather (~8M gather indices/step at bench shapes, the
+    dominant post-field cost).  Transmittance prefix sums become segmented
+    scans keyed on ray boundaries; per-ray reduction is one deterministic
+    scatter-add.  Returns (weights_sum [N], depth [N], image [N, 3]).
+    """
+    m = valid.astype(jnp.float32)
+    sig = sigmas.astype(jnp.float32) * m
+    dt = dts.astype(jnp.float32)
+    tau = sig * dt  # [M]
+    rid = ray_id.astype(jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), rid[1:] != rid[:-1]]
+    )
+
+    # segmented inclusive sums of (tau, gap) in one scan
+    seg_in = jnp.stack([tau, gaps.astype(jnp.float32) * m], axis=0)  # [2, M]
+    seg = _segmented_cumsum(seg_in, is_start)
+    acc, t_cum = seg[0], seg[1]
+    T_before = jnp.exp(-(acc - tau))
+    alpha = -jnp.expm1(-tau)
+    weights = T_before * alpha * m
+
+    # early termination within each segment (first stopper stays)
+    T_after = jnp.exp(-acc)
+    stop_f = (T_after < T_thresh).astype(jnp.float32) * m
+    stopped = _segmented_cumsum(stop_f[None], is_start)[0]
+    alive = (stopped - stop_f) < 0.5
+    weights = weights * alive.astype(jnp.float32)
+
+    vals = jnp.stack(
+        [
+            weights * rgbs_cf[0].astype(jnp.float32),
+            weights * rgbs_cf[1].astype(jnp.float32),
+            weights * rgbs_cf[2].astype(jnp.float32),
+            weights,
+            weights * t_cum,
+        ],
+        axis=1,
+    )  # [M, 5]
+    out = _ray_scatter(jnp.clip(rid, 0, n_rays - 1), vals, n_rays)  # [N, 5]
+    return out[:, 3], out[:, 4], out[:, 0:3]
 
 
 def composite_rays_flat(

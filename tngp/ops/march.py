@@ -346,6 +346,90 @@ def march_rays(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bound", "cascades", "grid_size", "dt_gamma", "max_steps",
+    ),
+)
+def march_rays_dense(
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    t_start: jax.Array,  # [N]
+    fars: jax.Array,  # [N]
+    bitfield: jax.Array,
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    noise: jax.Array | None = None,
+) -> MarchResult:
+    """Slab-free march: probe every ladder rung, return the FULL [N, S]
+    rung arrays with a validity mask — no per-ray compaction.
+
+    The training path's per-ray K-slab (binary-search compaction + packed
+    gathers, ~68 ms of the 81 ms flat march at bench shapes) exists only to
+    bound the field-query batch; when the caller already applies the *global*
+    M-sample budget (ops/compaction.py — the reference's mean_count
+    semantics, raymarching.py:200-232), compacting per ray first is redundant
+    work.  The compositor runs over S rungs instead of K (prefix sums are
+    cheap); invalid rungs carry zero dt/gap and masked positions.
+
+    next_t is the ladder end (no resume semantics — training marches once).
+    """
+    N = rays_o.shape[0]
+    S = max_steps
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    t0 = t_start.astype(jnp.float32)
+    if noise is not None:
+        dt0 = jnp.clip(t0 * dt_gamma, dt_min, dt_max)
+        t0 = t0 + dt0 * noise.astype(jnp.float32)
+
+    j = jnp.arange(S, dtype=jnp.int32)
+    ts = _t_ladder(t0, j, dt_gamma, dt_min, dt_max)  # [N, S]
+    dts = (
+        jnp.clip(ts * dt_gamma, dt_min, dt_max)
+        if dt_gamma > 0
+        else jnp.full_like(ts, dt_min)
+    )
+    px = jnp.clip(o[:, 0:1] + ts * d[:, 0:1], -bound, bound)
+    py = jnp.clip(o[:, 1:2] + ts * d[:, 1:2], -bound, bound)
+    pz = jnp.clip(o[:, 2:3] + ts * d[:, 2:3], -bound, bound)
+    mx = jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+    lvl = mip_level_from_max(mx, dts, cascades, grid_size)
+    cell = grid_cell_index_comp(px, py, pz, lvl, bound, cascades, grid_size)
+    occ = bitfield_probe(bitfield, cell.reshape(-1)).reshape(N, S)
+    maskf = occ & (ts < fars[:, None])
+    counts = maskf.sum(axis=-1).astype(jnp.int32)
+
+    # gap = advance since the previous valid rung (invalid rungs interleaved)
+    t_post = ts + dts
+    run = jax.lax.cummax(jnp.where(maskf, t_post, -jnp.inf), axis=1)
+    prev = jnp.concatenate([t0[:, None], run[:, :-1]], axis=1)
+    prev = jnp.maximum(prev, t0[:, None])
+    gaps = jnp.where(maskf, t_post - prev, 0.0)
+
+    ladder_end = ts[:, -1] + dts[:, -1]
+    dirs_cf = jnp.broadcast_to(d.T[:, :, None], (3, N, S))
+    zero = jnp.zeros((), jnp.float32)
+    return MarchResult(
+        xyzs_cf=jnp.where(maskf[None, :, :], jnp.stack([px, py, pz]), zero),
+        dirs_cf=dirs_cf,
+        dts=jnp.where(maskf, dts, zero),
+        gaps=gaps,
+        ts=jnp.where(maskf, ts, zero),
+        mask=maskf,
+        counts=counts,
+        next_t=jnp.minimum(ladder_end, fars.astype(jnp.float32)),
+    )
+
+
 def _march_rays_grouped(
     o, d, t0, fars, bitfield, *,
     bound, cascades, grid_size, dt_gamma, max_steps, K, group,
@@ -375,8 +459,11 @@ def _march_rays_grouped(
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
 
-    halfext = 0.5 * g * dt_max
-    hc = min(16, grid_size)
+    # group t-span bound: with dt_gamma=0 every rung advances exactly dt_min —
+    # using dt_max here over-dilated the coarse grid 5x (live fraction 0.86 vs
+    # 0.47 measured on the bench scene) and truncated rays' group budgets
+    halfext = 0.5 * g * (dt_min if dt_gamma <= 0 else dt_max)
+    hc = min(32, grid_size)
     coarse = build_coarse_occupancy(
         bitfield, bound=bound, cascades=cascades, grid_size=grid_size,
         halfext=halfext, hc=hc,

@@ -37,7 +37,7 @@ from ..ops import (
     sample_pdf,
     sph_from_ray,
 )
-from ..ops.composite import composite_rays_cf, composite_weights
+from ..ops.composite import composite_rays_cf, composite_stream, composite_weights
 
 
 @dataclass(frozen=True)
@@ -65,6 +65,10 @@ class RenderConfig:
     # first M valid samples are queried/backpropped, overflow is dropped.
     # 1.0 disables compaction.
     compact_fraction: float = 1.0
+    # slab-free training march (ops/march.py march_rays_dense): skip the
+    # per-ray K compaction and let the global budget do all the work — saves
+    # ~68 ms/step at bench shapes.  Requires compact_fraction < 1.
+    march_dense: bool = False
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":
@@ -140,54 +144,92 @@ def render_rays_train(
     noise = None
     if key is not None:
         noise = jax.random.uniform(key, (N,))
-    res = march_rays(
-        rays_o, rays_d, nears, fars, bitfield,
-        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=cfg.K, noise=noise,
-        group=cfg.march_group,
-    )
+    if cfg.march_dense:
+        if cfg.compact_fraction >= 1.0:
+            raise ValueError("march_dense requires compact_fraction < 1")
+        from ..ops.march import march_rays_dense
+
+        res = march_rays_dense(
+            rays_o, rays_d, nears, fars, bitfield,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, noise=noise,
+        )
+    else:
+        res = march_rays(
+            rays_o, rays_d, nears, fars, bitfield,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=cfg.K, noise=noise,
+            group=cfg.march_group,
+        )
+    K_eff = res.mask.shape[-1]  # K (slab) or max_steps (dense)
 
     if cfg.compact_fraction < 1.0:
-        # query only the first M valid samples across all rays (global budget)
-        from ..ops.compaction import compact_mask, expand_to_slab, gather_cf
+        # query only the first M valid samples across all rays (global
+        # budget), then composite on the compacted stream — field query AND
+        # compositor both see exactly M samples; the [N, K] slab is never
+        # rebuilt (expand-to-slab was ~8M gather indices/step at bench shapes)
+        from ..ops.compaction import compact_mask, gather_cf
 
+        # budget is defined in units of N*K regardless of slab vs dense march
         M_budget = min(
-            N * cfg.K,
+            N * K_eff,
             max(128, -(-int(N * cfg.K * cfg.compact_fraction) // 128) * 128),
         )
         comp = compact_mask(res.mask, M_budget)
+        ray_id = comp.sel.astype(jnp.int32) // K_eff  # [M] nondecreasing
         x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
-        d_c = gather_cf(res.dirs_cf.reshape(3, -1), comp)
+        # directions per sample are just the ray's direction — gather from the
+        # tiny [3, N] array instead of materializing a [3, N, K] broadcast
+        d_c = jnp.take(rays_d.T.astype(jnp.float32), ray_id, axis=1)
         out = field.sigma_rgb(params, x_c, d_c)
+        valid_f = comp.sel_valid.astype(jnp.float32)
         aux = None
         if len(out) == 3:
             sig_c, rgb_c, aux_c = out
+            denom = jnp.maximum(res.mask.sum().astype(jnp.float32), 1.0)
             aux = jax.tree_util.tree_map(
-                lambda a: expand_to_slab(a.reshape(-1), comp, N, cfg.K).reshape(-1),
-                aux_c,
+                lambda a: (a.reshape(-1) * valid_f).sum() / denom, aux_c
             )
         else:
             sig_c, rgb_c = out
-        sigmas = expand_to_slab(sig_c.astype(jnp.float32), comp, N, cfg.K)
-        sigmas = sigmas * cfg.density_scale
-        rgbs_cf = expand_to_slab(rgb_c.astype(jnp.float32), comp, N, cfg.K)
+        # composite directly on the compacted stream — no expand-to-slab
+        dt_c = jnp.take(res.dts.reshape(-1), comp.sel)
+        gap_c = jnp.take(res.gaps.reshape(-1), comp.sel)
+        ws, depth_raw, image = composite_stream(
+            sig_c.astype(jnp.float32) * cfg.density_scale,
+            rgb_c, dt_c, gap_c, ray_id, comp.sel_valid, N, cfg.T_thresh,
+        )
         # rays that lost samples to the global budget must not contribute to
         # the loss (reference: overflow rays are zeroed and skipped,
         # raymarching.cu:521-528) — surface the mask for the trainer
         ray_in_budget = jnp.all(comp.in_budget == res.mask, axis=-1)
+        image = image + (1.0 - ws)[:, None] * bg
+        depth = jnp.clip(depth_raw - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+        results = {
+            "image": image,
+            "depth": depth,
+            "weights_sum": ws,
+            "num_points": res.counts.sum(),
+            "counts": res.counts,
+            "ray_mask": ray_in_budget,
+        }
+        if aux is not None:
+            results["aux"] = aux
+        return results
+
+    # no global budget: query every slab slot and composite slab-wise
+    out = field.sigma_rgb(
+        params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
+    )
+    # optional aux dict of [B]-shaped per-sample scalars (e.g. |deform| for
+    # the D-NeRF regularizer) as a third return value
+    aux = None
+    if len(out) == 3:
+        sigmas, rgbs_cf, aux = out
     else:
-        out = field.sigma_rgb(
-            params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
-        )
-        # optional aux dict of [B]-shaped per-sample scalars (e.g. |deform| for
-        # the D-NeRF regularizer) as a third return value
-        aux = None
-        if len(out) == 3:
-            sigmas, rgbs_cf, aux = out
-        else:
-            sigmas, rgbs_cf = out
-        sigmas = (sigmas.reshape(N, cfg.K).astype(jnp.float32)) * cfg.density_scale
-        rgbs_cf = rgbs_cf.reshape(3, N, cfg.K)
+        sigmas, rgbs_cf = out
+    sigmas = (sigmas.reshape(N, K_eff).astype(jnp.float32)) * cfg.density_scale
+    rgbs_cf = rgbs_cf.reshape(3, N, K_eff)
 
     ws, depth, image, _ = composite_rays_cf(
         sigmas, rgbs_cf, res.dts, res.gaps, res.mask, cfg.T_thresh
@@ -200,10 +242,7 @@ def render_rays_train(
         "weights_sum": ws,
         "num_points": res.counts.sum(),
         "counts": res.counts,
-        "ray_mask": (
-            ray_in_budget if cfg.compact_fraction < 1.0
-            else jnp.ones((N,), bool)
-        ),
+        "ray_mask": jnp.ones((N,), bool),
     }
     if aux is not None:
         m = res.mask.reshape(-1).astype(jnp.float32)
