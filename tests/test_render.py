@@ -170,3 +170,30 @@ def test_grad_flows_through_render():
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_eval_stream_matches_round_loop():
+    """Single-big-first-pass eval (eval_stream=True, default) must agree with
+    the pure round-loop path, including rays that overflow K and need
+    residual rounds."""
+    import dataclasses
+
+    cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=256, K=64, K_eval=32,
+                       min_near=0.05, density_thresh=0.5)
+    field = analytic_field()
+    bf = full_bitfield(cfg)
+    o, d = make_rays(48)
+    out_s = render_rays_eval(field, None, o, d, bf, cfg)
+    out_l = render_rays_eval(
+        field, None, o, d, bf, dataclasses.replace(cfg, eval_stream=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["image"]), np.asarray(out_l["image"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["weights_sum"]), np.asarray(out_l["weights_sum"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["depth"]), np.asarray(out_l["depth"]), rtol=1e-3, atol=1e-3
+    )

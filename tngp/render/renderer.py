@@ -69,6 +69,13 @@ class RenderConfig:
     # per-ray K compaction and let the global budget do all the work — saves
     # ~68 ms/step at bench shapes.  Requires compact_fraction < 1.
     march_dense: bool = False
+    # single-pass stream eval: dense-march the whole ladder once, field-query
+    # the first N*K*eval_budget valid samples in one stream batch, composite;
+    # residual rounds run over alive-compacted rays only
+    eval_stream: bool = True
+    # first-pass eval sample budget as a multiple of N*K (0.75 covers the
+    # mean ray with headroom; long-tail rays finish in residual rounds)
+    eval_budget: float = 0.75
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":
@@ -253,6 +260,57 @@ def render_rays_train(
     return results
 
 
+def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg):
+    """First eval pass: dense march once, field-query the first M valid
+    samples globally (ray-major), stream-composite.  Rays whose samples were
+    dropped by the global budget resume at their first un-queried rung —
+    correctness is preserved by the residual round loop, so the budget only
+    trades a (rare) extra residual round for never padding per-ray batches.
+    Returns (rays_t, ws, depth_raw, image) accumulated state."""
+    from ..ops.compaction import compact_mask, gather_cf
+    from ..ops.march import march_rays_dense
+
+    N = rays_o.shape[0]
+    res = march_rays_dense(
+        rays_o, rays_d, nears, fars, bitfield,
+        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+    )
+    S = res.mask.shape[-1]
+    M = min(N * S, max(128, -(-int(N * cfg.K * cfg.eval_budget) // 128) * 128))
+    comp = compact_mask(res.mask, M)
+    ray_id = comp.sel.astype(jnp.int32) // S
+    x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
+    d_c = jnp.take(rays_d.T.astype(jnp.float32), ray_id, axis=1)
+    out = field.sigma_rgb(params, x_c, d_c)
+    sig_c, rgb_c = out[0], out[1]
+    dt_c = jnp.take(res.dts.reshape(-1), comp.sel)
+    gap_c = jnp.take(res.gaps.reshape(-1), comp.sel)
+    ws, depth_raw, image = composite_stream(
+        sig_c.astype(jnp.float32) * cfg.density_scale,
+        rgb_c, dt_c, gap_c, ray_id, comp.sel_valid, N, cfg.T_thresh,
+    )
+    # the stream compositor's t_cum is relative to the ray start; the eval
+    # accumulator (and residual rounds) work in absolute t
+    depth_raw = depth_raw + nears.astype(jnp.float32) * ws
+    # resume t: first budget-dropped valid rung, else the ladder end
+    dropped = res.mask & jnp.logical_not(comp.in_budget)  # [N, S]
+    has_drop = jnp.any(dropped, axis=-1)
+    drank = jnp.cumsum(dropped.astype(jnp.int32), axis=-1)
+    lo = jnp.zeros((N, 1), jnp.int32)
+    hi = jnp.full((N, 1), S, jnp.int32)
+    for _ in range(max(1, S.bit_length())):
+        mid = (lo + hi) >> 1
+        r = jnp.take_along_axis(drank, jnp.minimum(mid, S - 1), axis=1)
+        go_right = r < 1
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    found = jnp.minimum(lo[:, 0], S - 1)
+    t_res = jnp.take_along_axis(res.ts, found[:, None], axis=1)[:, 0]
+    rays_t = jnp.where(has_drop, t_res, res.next_t)
+    return rays_t, ws, depth_raw, image
+
+
 def render_rays_eval(
     field: FieldFns,
     params,
@@ -262,32 +320,36 @@ def render_rays_eval(
     cfg: RenderConfig,
     bg_color=None,
 ):
-    """Iterative full-quality render (the alive-ray loop, statically shaped)."""
+    """Full-quality render: single-pass stream eval (cfg.eval_stream) with an
+    alive-ray round loop as residual / fallback (statically shaped)."""
     N = rays_o.shape[0]
     K = cfg.K_eval
     nears, fars = near_far_from_aabb(rays_o, rays_d, cfg.aabb, cfg.min_near)
     bg = _resolve_bg(field, params, rays_o, rays_d, cfg, bg_color)
     max_rounds = max(1, -(-cfg.max_steps // K))
 
-    def round_body(state):
-        rnd, rays_t, ws, depth, image = state
+    def eval_round(o_r, d_r, t_r, far_r, ws_in, K_round):
+        """One marched-slab round over an arbitrary ray batch, continuing
+        from accumulated transmittance.  Returns (next_t, d_ws, d_depth,
+        d_image) deltas."""
+        Nr = o_r.shape[0]
         res = march_rays(
-            rays_o, rays_d, rays_t, fars, bitfield,
+            o_r, d_r, t_r, far_r, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=K,
-            group=cfg.march_group if K % max(cfg.march_group, 1) == 0 else 0,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=K_round,
+            group=cfg.march_group if K_round % max(cfg.march_group, 1) == 0 else 0,
         )
         out = field.sigma_rgb(
             params, res.xyzs_cf.reshape(3, -1), res.dirs_cf.reshape(3, -1)
         )
         sigmas, rgbs_cf = out[0], out[1]  # optional aux ignored at eval
-        sigmas = sigmas.reshape(N, K).astype(jnp.float32) * cfg.density_scale
-        rgbs_cf = rgbs_cf.reshape(3, N, K).astype(jnp.float32)
+        sigmas = sigmas.reshape(Nr, K_round).astype(jnp.float32) * cfg.density_scale
+        rgbs_cf = rgbs_cf.reshape(3, Nr, K_round).astype(jnp.float32)
 
         # incremental composite continuing from accumulated weight_sum
         # (kernel_composite_rays: T = 1 - weight_sum, raymarching.cu:884)
         w = composite_weights(sigmas, res.dts, res.mask, 0.0)
-        T_in = jnp.maximum(1.0 - ws, 0.0)[:, None]
+        T_in = jnp.maximum(1.0 - ws_in, 0.0)[:, None]
         w = T_in * w
         # early stop on the *global* running transmittance
         tau = sigmas * res.dts * res.mask.astype(jnp.float32)
@@ -296,25 +358,84 @@ def render_rays_eval(
         alive_s = (stopped - (T_run < cfg.T_thresh)) < 0.5
         w = w * alive_s.astype(jnp.float32)
 
-        t_cum = rays_t[:, None] + jnp.cumsum(res.gaps, axis=-1)
-        ws_new = ws + w.sum(axis=-1)
-        depth_new = depth + (w * t_cum).sum(axis=-1)
-        image_new = image + jnp.einsum("nk,cnk->nc", w, rgbs_cf)
-        return rnd + 1, res.next_t, ws_new, depth_new, image_new
+        t_cum = t_r[:, None] + jnp.cumsum(res.gaps, axis=-1)
+        return (
+            res.next_t,
+            w.sum(axis=-1),
+            (w * t_cum).sum(axis=-1),
+            jnp.einsum("nk,cnk->nc", w, rgbs_cf),
+        )
 
-    def round_cond(state):
-        rnd, rays_t, ws, depth, image = state
-        alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
-        return (rnd < max_rounds) & jnp.any(alive)
+    if cfg.eval_stream:
+        t0, ws0, depth0, image0 = _eval_stream_pass(
+            field, params, rays_o, rays_d, nears, fars, bitfield, cfg
+        )
+        state0 = (jnp.zeros((), jnp.int32), t0, ws0, depth0, image0)
+        # residual rounds over ALIVE-COMPACTED rays: a handful of long-tail
+        # rays must not pay full-width rounds (the CUDA eval loop compacts
+        # n_alive the same way, nerf/renderer.py:376-420)
+        Na = max(min(256, N), N // 4)
+        max_res_rounds = max(1, -(-cfg.max_steps // K)) + 2
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        nears.astype(jnp.float32),
-        jnp.zeros((N,), jnp.float32),
-        jnp.zeros((N,), jnp.float32),
-        jnp.zeros((N, 3), jnp.float32),
-    )
-    _, _, ws, depth, image = jax.lax.while_loop(round_cond, round_body, init)
+        def res_cond(state):
+            rnd, rays_t, ws, depth, image = state
+            alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
+            return (rnd < max_res_rounds) & jnp.any(alive)
+
+        def res_body(state):
+            rnd, rays_t, ws, depth, image = state
+            alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
+            arank = jnp.cumsum(alive.astype(jnp.int32))
+            n_alive = arank[-1]
+            # first Na alive rays (binary search over the monotone rank)
+            want = jnp.arange(1, Na + 1, dtype=jnp.int32)
+            lo = jnp.zeros((Na,), jnp.int32)
+            hi = jnp.full((Na,), N, jnp.int32)
+            for _ in range(max(1, N.bit_length())):
+                mid = (lo + hi) >> 1
+                r = jnp.take(arank, jnp.minimum(mid, N - 1))
+                go_right = r < want
+                lo = jnp.where(go_right, mid + 1, lo)
+                hi = jnp.where(go_right, hi, mid)
+            sel = jnp.minimum(lo, N - 1)  # [Na]
+            slot_ok = want <= n_alive
+            o_a = jnp.take(rays_o, sel, axis=0)
+            d_a = jnp.take(rays_d, sel, axis=0)
+            t_a = jnp.take(rays_t, sel)
+            f_a = jnp.take(fars, sel)
+            ws_a = jnp.take(ws, sel)
+            nt, dws, ddep, dimg = eval_round(o_a, d_a, t_a, f_a, ws_a, K)
+            # all updates are scatter-ADDs of zero-masked deltas: invalid
+            # slots clamp to ray N-1, and a .set with duplicate indices
+            # would nondeterministically clobber that ray's real update
+            okf = slot_ok.astype(jnp.float32)
+            rays_t = rays_t.at[sel].add((nt - t_a) * okf)
+            ws = ws.at[sel].add(dws * okf)
+            depth = depth.at[sel].add(ddep * okf)
+            image = image.at[sel].add(dimg * okf[:, None])
+            return rnd + 1, rays_t, ws, depth, image
+
+        _, _, ws, depth, image = jax.lax.while_loop(res_cond, res_body, state0)
+    else:
+        # reference-style full-width round loop
+        def round_body(state):
+            rnd, rays_t, ws, depth, image = state
+            nt, dws, ddep, dimg = eval_round(rays_o, rays_d, rays_t, fars, ws, K)
+            return rnd + 1, nt, ws + dws, depth + ddep, image + dimg
+
+        def round_cond(state):
+            rnd, rays_t, ws, depth, image = state
+            alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
+            return (rnd < max_rounds) & jnp.any(alive)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            nears.astype(jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N, 3), jnp.float32),
+        )
+        _, _, ws, depth, image = jax.lax.while_loop(round_cond, round_body, init)
 
     image = image + (1.0 - ws)[:, None] * bg
     depth = jnp.clip(depth - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
