@@ -17,6 +17,9 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--time_size", type=int, default=64)
     p.add_argument("--deform_reg", type=float, default=1e-3)
+    p.add_argument("--gui", action="store_true",
+                   help="launch the web viewer (time slider, dnerf/gui.py:75)")
+    p.add_argument("--gui_port", type=int, default=7860)
     p.add_argument("--basis", action="store_true",
                    help="temporal-basis variant (dnerf/network_basis.py)")
     p.add_argument("--hyper", action="store_true",
@@ -48,6 +51,11 @@ def main(argv=None):
         time_size=opt.time_size, deform_reg=opt.deform_reg,
         update_interval=100,
     )
+    if opt.gui:
+        from .viewer import run_viewer
+
+        run_viewer(trainer, port=opt.gui_port)
+        return trainer
     if opt.test:
         trainer.test(train_ds.poses)
         return trainer

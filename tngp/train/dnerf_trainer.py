@@ -172,12 +172,19 @@ class DNeRFTrainer(Trainer):
         )
 
     def render_image(self, pose, intrinsics=None, use_ema: bool = True,
-                     chunk: int = 4096, bg_color=None, time: float = 0.0):
+                     chunk: int = 4096, bg_color=None, time: float = 0.0,
+                     W=None, H=None):
         from ..data.rays import full_image_rays
 
         intrinsics = self.intrinsics if intrinsics is None else intrinsics
+        if W is None or H is None:
+            W, H = self.W, self.H
+        elif (W, H) != (self.W, self.H):
+            s = np.array([W / self.W, H / self.H, W / self.W, H / self.H],
+                         np.float32)
+            intrinsics = jnp.asarray(np.asarray(intrinsics) * s)
         params = self.ema_params if use_ema else self.params
-        o, d = full_image_rays(jnp.asarray(pose), intrinsics, self.H, self.W)
+        o, d = full_image_rays(jnp.asarray(pose), intrinsics, H, W)
         field = self.field_at_time(self.model, float(time))
         bitfield = self.grid.bitfield[int(time_slice_index(time, self.time_size))]
         n = o.shape[0]
@@ -193,8 +200,8 @@ class DNeRFTrainer(Trainer):
             )
             imgs.append(np.asarray(out["image"]))
             deps.append(np.asarray(out["depth"]))
-        img = np.concatenate(imgs)[:n].reshape(self.H, self.W, 3)
-        dep = np.concatenate(deps)[:n].reshape(self.H, self.W)
+        img = np.concatenate(imgs)[:n].reshape(H, W, 3)
+        dep = np.concatenate(deps)[:n].reshape(H, W)
         return img, dep
 
     def evaluate(self, dataset: NeRFDataset, write_images: bool = False) -> float:

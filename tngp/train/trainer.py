@@ -347,11 +347,20 @@ class Trainer:
 
     # ------------------------------------------------------------------- eval
     def render_image(self, pose, intrinsics=None, use_ema: bool = True,
-                     chunk: int = 4096, bg_color=None):
-        """Full-image eval render (staged chunking, max_ray_batch=4096 parity)."""
+                     chunk: int = 4096, bg_color=None, W=None, H=None):
+        """Full-image eval render (staged chunking, max_ray_batch=4096 parity).
+
+        W/H override the dataset resolution (the GUI's dynamic-resolution
+        throttle, nerf/gui.py:135-141); intrinsics are rescaled to match."""
         intrinsics = self.intrinsics if intrinsics is None else intrinsics
+        if W is None or H is None:
+            W, H = self.W, self.H
+        elif (W, H) != (self.W, self.H):
+            s = np.array([W / self.W, H / self.H, W / self.W, H / self.H],
+                         np.float32)
+            intrinsics = jnp.asarray(np.asarray(intrinsics) * s)
         params = self.ema_params if use_ema else self.params
-        o, d = full_image_rays(jnp.asarray(pose), intrinsics, self.H, self.W)
+        o, d = full_image_rays(jnp.asarray(pose), intrinsics, H, W)
         if not hasattr(self, "_eval_fn"):
             field, cfg = self.field, self.cfg
             use_grid = self.use_grid
@@ -380,8 +389,8 @@ class Trainer:
             )
             imgs.append(np.asarray(img))
             deps.append(np.asarray(dep))
-        img = np.concatenate(imgs)[:n].reshape(self.H, self.W, 3)
-        dep = np.concatenate(deps)[:n].reshape(self.H, self.W)
+        img = np.concatenate(imgs)[:n].reshape(H, W, 3)
+        dep = np.concatenate(deps)[:n].reshape(H, W)
         return img, dep
 
     def evaluate(self, dataset: NeRFDataset, write_images: bool = False) -> float:
