@@ -20,12 +20,25 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from pose_utils import closest_point_2_lines, rotation_between  # noqa: E402
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--video", default="", help="input video (frames extracted via ffmpeg)")
+    p.add_argument("--time_slice", default="",
+                   help="'t1,t2' seconds: only extract video frames between "
+                        "t1 and t2 (reference colmap2nerf.py:35)")
     p.add_argument("--images", default="images", help="images folder")
     p.add_argument("--run_colmap", action="store_true")
+    p.add_argument("--estimate_affine_shape", action="store_true",
+                   help="enable COLMAP SiftExtraction.estimate_affine_shape "
+                        "+ domain_size_pooling (CPU-only, better features; "
+                        "reference colmap2nerf.py:31)")
+    p.add_argument("--keep_colmap_coords", action="store_true",
+                   help="skip the up-vector reorientation / recentering / "
+                        "rescale (write raw COLMAP world coordinates)")
     p.add_argument("--dynamic", action="store_true",
                    help="write a time field from the frame index")
     p.add_argument("--hold", type=int, default=8, help="val holdout every k images")
@@ -58,19 +71,26 @@ def sharpness(path: str) -> float:
     return float(cv2.Laplacian(img, cv2.CV_64F).var())
 
 
-def extract_video(video: str, out_dir: str, fps: float):
+def extract_video(video: str, out_dir: str, fps: float, time_slice: str = ""):
     os.makedirs(out_dir, exist_ok=True)
+    vf = f"fps={fps}"
+    if time_slice:
+        t1, t2 = time_slice.split(",")
+        vf += f",select='between(t\\,{t1}\\,{t2})'"
     subprocess.run(
-        ["ffmpeg", "-y", "-i", video, "-vf", f"fps={fps}",
-         os.path.join(out_dir, "%04d.jpg")],
+        ["ffmpeg", "-y", "-i", video, "-qscale:v", "1", "-qmin", "1",
+         "-vf", vf, os.path.join(out_dir, "%04d.jpg")],
         check=True,
     )
 
 
 def run_colmap(args):
     db, images, text = args.colmap_db, args.images, args.colmap_text
+    eas = "1" if args.estimate_affine_shape else "0"
     subprocess.run(["colmap", "feature_extractor", "--database_path", db,
                     "--image_path", images, "--ImageReader.camera_model", "OPENCV",
+                    "--SiftExtraction.estimate_affine_shape", eas,
+                    "--SiftExtraction.domain_size_pooling", eas,
                     "--ImageReader.single_camera", "1"], check=True)
     subprocess.run(["colmap", f"{args.colmap_matcher}_matcher",
                     "--database_path", db], check=True)
@@ -112,40 +132,35 @@ def read_cameras(path: str):
 
 
 def read_images(path: str):
-    """IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME (every other line)."""
+    """IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME, alternating with a
+    POINTS2D line (which may be completely empty for zero-point images — so
+    alternate with a toggle rather than slicing filtered lines)."""
     out = []
+    expecting_image = True
     with open(path) as f:
-        lines = [l for l in f if not l.startswith("#") and l.strip()]
-    for line in lines[0::2]:
-        t = line.split()
-        out.append({
-            "qvec": np.array([float(x) for x in t[1:5]]),
-            "tvec": np.array([float(x) for x in t[5:8]]),
-            "camera_id": int(t[8]),
-            "name": " ".join(t[9:]),
-        })
+        for line in f:
+            if line.startswith("#"):
+                continue
+            if expecting_image:
+                if not line.strip():
+                    continue  # leading blank before any image entry
+                t = line.split()
+                out.append({
+                    "qvec": np.array([float(x) for x in t[1:5]]),
+                    "tvec": np.array([float(x) for x in t[5:8]]),
+                    "camera_id": int(t[8]),
+                    "name": " ".join(t[9:]),
+                })
+                expecting_image = False
+            else:
+                expecting_image = True  # consume the (possibly empty) points line
     return out
-
-
-def closest_point_2_lines(oa, da, ob, db):
-    da = da / np.linalg.norm(da)
-    db = db / np.linalg.norm(db)
-    c = np.cross(da, db)
-    denom = np.linalg.norm(c) ** 2
-    t = ob - oa
-    ta = np.linalg.det([t, db, c]) / (denom + 1e-10)
-    tb = np.linalg.det([t, da, c]) / (denom + 1e-10)
-    if ta > 0:
-        ta = 0
-    if tb > 0:
-        tb = 0
-    return (oa + ta * da + ob + tb * db) * 0.5, denom
 
 
 def main():
     args = parse_args()
     if args.video:
-        extract_video(args.video, args.images, args.video_fps)
+        extract_video(args.video, args.images, args.video_fps, args.time_slice)
     if args.run_colmap:
         run_colmap(args)
 
@@ -167,14 +182,21 @@ def main():
     }
 
     bottom = np.array([0, 0, 0, 1.0]).reshape(1, 4)
+    up_accum = np.zeros(3)
     for i, im in enumerate(images):
         R = qvec2rotmat(im["qvec"])
         t = im["tvec"].reshape(3, 1)
         w2c = np.concatenate([np.concatenate([R, t], axis=1), bottom], axis=0)
         c2w = np.linalg.inv(w2c)
-        # colmap -> nerf camera convention (flip y, z)
-        c2w[0:3, 1] *= -1
-        c2w[0:3, 2] *= -1
+        if not args.keep_colmap_coords:
+            # colmap -> nerf camera convention: flip camera y/z, swap world
+            # x/y, flip world z (so gravity points along -z before the
+            # up-alignment below)
+            c2w[0:3, 1] *= -1
+            c2w[0:3, 2] *= -1
+            c2w = c2w[[1, 0, 2, 3], :]
+            c2w[2, :] *= -1
+            up_accum += c2w[0:3, 1]
         fpath = os.path.join(args.images, im["name"])
         frame = {
             "file_path": fpath,
@@ -185,29 +207,40 @@ def main():
             frame["time"] = i / max(len(images) - 1, 1)
         out["frames"].append(frame)
 
-    # recenter on the mutual focus point of all camera rays
     frames = out["frames"]
-    totw, totp = 0.0, np.zeros(3)
-    mats = [np.array(f["transform_matrix"]) for f in frames]
-    for f in mats:
-        for g in mats:
-            p, w = closest_point_2_lines(f[:3, 3], f[:3, 2], g[:3, 3], g[:3, 2])
-            if w > 0.00001:
-                totp += p * w
-                totw += w
-    if totw > 0:
-        totp /= totw
-    for f, m in zip(frames, mats):
-        m[:3, 3] -= totp
-        f["transform_matrix"] = m
+    if not args.keep_colmap_coords:
+        # reorient the world so the mean camera up-vector is +z
+        up = up_accum / (np.linalg.norm(up_accum) + 1e-12)
+        Rup = np.pad(rotation_between(up, np.array([0.0, 0.0, 1.0])), [(0, 1), (0, 1)])
+        Rup[3, 3] = 1.0
+        for f in frames:
+            f["transform_matrix"] = Rup @ np.array(f["transform_matrix"])
 
-    avglen = np.mean([np.linalg.norm(np.array(f["transform_matrix"])[:3, 3])
-                      for f in frames])
-    scale = 4.0 / max(avglen, 1e-6)
-    for f in frames:
-        m = np.array(f["transform_matrix"])
-        m[:3, 3] *= scale
-        f["transform_matrix"] = m.tolist()
+        # recenter on the mutual focus point of all camera rays
+        totw, totp = 0.0, np.zeros(3)
+        mats = [np.array(f["transform_matrix"]) for f in frames]
+        for f in mats:
+            for g in mats:
+                p, w = closest_point_2_lines(f[:3, 3], f[:3, 2], g[:3, 3], g[:3, 2])
+                if w > 0.00001:
+                    totp += p * w
+                    totw += w
+        if totw > 0:
+            totp /= totw
+        for f, m in zip(frames, mats):
+            m[:3, 3] -= totp
+            f["transform_matrix"] = m
+
+        avglen = np.mean([np.linalg.norm(np.array(f["transform_matrix"])[:3, 3])
+                          for f in frames])
+        scale = 4.0 / max(avglen, 1e-6)
+        for f in frames:
+            m = np.array(f["transform_matrix"])
+            m[:3, 3] *= scale
+            f["transform_matrix"] = m.tolist()
+    else:
+        for f in frames:
+            f["transform_matrix"] = np.array(f["transform_matrix"]).tolist()
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -1,67 +1,89 @@
 #!/usr/bin/env python
-"""Convert an LLFF/Mip-NeRF-360 dataset (poses_bounds.npy + images) to
-instant-ngp `transforms.json` (capability parity with scripts/llff2nerf.py)."""
+"""Convert an LLFF dataset (poses_bounds.npy + images) to instant-ngp
+`transforms_{train,val,test}.json`.
+
+Capability parity with the reference's scripts/llff2nerf.py: the LLFF
+[down right back] axis inversion, the colmap2nerf world normalization
+(pose_utils.normalize_world), and the every-`hold`-th test split with vals
+subsampled 1-in-10.
+"""
 
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from pose_utils import normalize_world  # noqa: E402
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("path", help="dataset root containing poses_bounds.npy")
-    p.add_argument("--images", default="images", help="images subfolder")
-    p.add_argument("--downscale", type=int, default=1)
-    p.add_argument("--hold", type=int, default=8)
-    p.add_argument("--aabb_scale", type=int, default=4)
+    p.add_argument("--images", default="images_8",
+                   help="images subfolder (e.g. images_4)")
+    p.add_argument("--downscale", type=float, default=8)
+    p.add_argument("--hold", type=int, default=8,
+                   help="hold out every k-th image for test")
+    p.add_argument("--aabb_scale", type=int, default=2)
     args = p.parse_args()
 
     pb = np.load(os.path.join(args.path, "poses_bounds.npy"))  # [N, 17]
     poses = pb[:, :15].reshape(-1, 3, 5)  # [N, 3, 5]
-    hwf = poses[0, :, 4]
-    H, W, focal = hwf / args.downscale if args.downscale > 1 else hwf
-    # llff [down right back] -> nerf [right up back]
+    N = poses.shape[0]
+    H, W, fl = poses[0, :, 4]
+    H, W = int(H // args.downscale), int(W // args.downscale)
+    fl = fl / args.downscale
+
+    # invert the LLFF pose packing (llff/poses/pose_utils.py:L51):
+    # columns [down, right, back] -> [right, down, -back]
     mats = np.concatenate(
-        [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:3], poses[:, :, 3:4]],
+        [poses[..., 1:2], poses[..., 0:1], -poses[..., 2:3], poses[..., 3:4]],
         axis=-1,
     )  # [N, 3, 4]
+    bottom = np.tile(np.array([0, 0, 0, 1.0]), (N, 1, 1))
+    mats = np.concatenate([mats, bottom], axis=1)  # [N, 4, 4]
+    mats = normalize_world(mats)
 
     img_dir = os.path.join(args.path, args.images)
     names = sorted(
         f for f in os.listdir(img_dir)
         if f.lower().endswith((".jpg", ".jpeg", ".png"))
     )
-    assert len(names) == len(mats), f"{len(names)} images vs {len(mats)} poses"
+    assert len(names) == N, f"{len(names)} images vs {N} poses"
 
-    # recenter + scale
-    centers = mats[:, :, 3]
-    center = centers.mean(axis=0)
-    mats[:, :, 3] -= center
-    scale = 4.0 / max(np.linalg.norm(mats[:, :, 3], axis=-1).mean(), 1e-6)
-    mats[:, :, 3] *= scale
+    all_ids = np.arange(N)
+    test_ids = all_ids[:: args.hold]
+    train_ids = np.array([i for i in all_ids if i not in test_ids])
 
-    bottom = np.array([[0, 0, 0, 1.0]])
-    out = {
-        "fl_x": float(focal), "fl_y": float(focal),
-        "cx": float(W) / 2, "cy": float(H) / 2,
-        "w": float(W), "h": float(H),
-        "aabb_scale": args.aabb_scale,
-        "frames": [
+    def frames_of(ids):
+        return [
             {
-                "file_path": os.path.join(args.images, name),
-                "transform_matrix": np.concatenate([m, bottom]).tolist(),
+                "file_path": os.path.join(args.images, names[i]),
+                "transform_matrix": mats[i].tolist(),
             }
-            for name, m in zip(names, mats)
-        ],
-    }
-    out_path = os.path.join(args.path, "transforms.json")
-    with open(out_path, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"[llff2nerf] wrote {out_path} with {len(names)} frames")
+            for i in ids
+        ]
+
+    frames_test = frames_of(test_ids)
+    for fname, frames in (
+        ("transforms_train.json", frames_of(train_ids)),
+        ("transforms_val.json", frames_test[::10]),
+        ("transforms_test.json", frames_test),
+    ):
+        out = {
+            "w": W, "h": H, "fl_x": float(fl), "fl_y": float(fl),
+            "cx": W // 2, "cy": H // 2, "aabb_scale": args.aabb_scale,
+            "frames": frames,
+        }
+        out_path = os.path.join(args.path, fname)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"[llff2nerf] wrote {out_path} with {len(frames)} frames")
 
 
 if __name__ == "__main__":

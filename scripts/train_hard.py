@@ -91,7 +91,7 @@ def main():
         trainer.epoch += 1
         trainer.train_one_epoch(steps_per_epoch)
         if trainer.epoch % tc.eval_interval == 0:
-            psnr = trainer.evaluate(val_ds)
+            psnr = float(trainer.evaluate(val_ds))
             curve.append({"step": trainer.global_step, "wall_s": time.time() - t0,
                           "psnr": psnr})
             print(f"# step {trainer.global_step} wall {time.time()-t0:.0f}s "
@@ -99,7 +99,7 @@ def main():
             with open(os.path.join(tc.workspace, "curve.json"), "w") as f:
                 json.dump(curve, f)
             trainer.save_checkpoint(best=False)
-    psnr = trainer.evaluate(val_ds, write_images=True)
+    psnr = float(trainer.evaluate(val_ds, write_images=True))
     curve.append({"step": trainer.global_step, "wall_s": time.time() - t0,
                   "psnr": psnr, "final": True})
     with open(os.path.join(tc.workspace, "curve.json"), "w") as f:

