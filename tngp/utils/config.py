@@ -35,3 +35,6 @@ class TrainConfig:
     rand_pose: int = -1
     clip_text: Optional[str] = None
     clip_model_path: str = "openai/clip-vit-base-patch16"
+    # non-empty: capture a jax.profiler trace of the FIRST epoch into this
+    # directory (TensorBoard/Perfetto-viewable; SURVEY §5.1)
+    profile_dir: str = ""
