@@ -54,3 +54,23 @@ def test_dnerf_hyper_trainer_end_to_end(tmp_path):
     from tngp.models import DNeRFHyperNetwork
 
     _tiny_variant_run(DNeRFHyperNetwork(bound=1.0), tmp_path, "dnerf_hyper")
+
+
+def test_dnerf_trainer_dense_stream_path(tmp_path):
+    """D-NeRF training through the dense-march + stream-compact path (the CLI
+    default): the aux deform-reg scalar must flow through the compacted
+    stream (renderer aux-on-stream branch)."""
+    ds = make_synthetic_dynamic_dataset(n_frames=4, H=32, W=32, num_steps=96)
+    model = DNeRFNetwork(bound=1.0)
+    cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=96, K=48, K_eval=32,
+                       min_near=0.05, march_dense=True, compact_fraction=0.5)
+    tc = TrainConfig(name="dnerf_ds", workspace=str(tmp_path), iters=100,
+                     num_rays=256, steps_per_epoch=15, use_checkpoint="scratch")
+    tr = DNeRFTrainer(model, ds, cfg, tc, time_size=4, update_interval=8)
+    l0 = tr.train_one_epoch(15)
+    tr.epoch += 1
+    l1 = tr.train_one_epoch(15)
+    assert np.isfinite(l1)
+    assert l1 < l0 * 1.5
+    img, _ = tr.render_image(ds.poses[0], time=float(ds.times[0]))
+    assert np.isfinite(img).all()

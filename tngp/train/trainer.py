@@ -329,9 +329,11 @@ class Trainer:
             # step and dominate wall time (measured 3.4 -> 11 it/s on chip)
             losses.append(loss)
             pts.append(npts)
-            # per-STEP EMA, matching the reference's ExponentialMovingAverage
-            # hook in the train loop (nerf/utils.py:531-533) — a per-epoch EMA
-            # lags hundreds of steps behind and wrecks eval PSNR
+            # per-STEP EMA.  The reference's NeRF trainer updates per epoch
+            # (nerf/utils.py:1051-1052) but its SDF trainer per step
+            # (sdf/utils.py:349-350); we follow the SDF cadence — at our
+            # 500-step epochs a per-epoch EMA lags so far behind that eval
+            # renders ~30 dB below the train fit
             self.ema_params = ema_update(
                 self.ema_params, self.params, self.tc.ema_decay
             )
