@@ -31,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from tngp.data import make_synthetic_dataset, sample_rays
 from tngp.models import NGPNetwork
 from tngp.ops import march_rays, near_far_from_aabb
-from tngp.ops.compaction import compact_mask, expand_to_slab, gather_cf
+from tngp.ops.compaction import compact_mask, gather_cf
 from tngp.ops.composite import composite_rays_cf
 from tngp.render import (
     FieldFns,

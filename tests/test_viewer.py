@@ -6,7 +6,6 @@ import json
 import threading
 import urllib.request
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

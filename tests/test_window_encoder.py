@@ -9,7 +9,6 @@ is exercised by bench.py / the flagship training path.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tngp.kernels.window_encoder import (
     bin_samples,

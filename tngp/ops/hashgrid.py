@@ -27,7 +27,7 @@ Table sizing (matches grid.py:776-789):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
 

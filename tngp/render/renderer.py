@@ -25,7 +25,6 @@ TPU-first notes
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

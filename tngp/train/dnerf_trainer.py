@@ -20,7 +20,7 @@ import optax
 
 from ..data.provider import NeRFDataset
 from ..data.rays import sample_rays
-from ..models.dnerf import DNeRFBasisNetwork, DNeRFHyperNetwork, DNeRFNetwork
+from ..models.dnerf import DNeRFNetwork
 from ..render import (
     FieldFns,
     RenderConfig,

@@ -7,8 +7,8 @@ dataclasses.  Flag names keep parity with main_nerf.py so the CLIs map 1:1.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 
 @dataclass(frozen=True)
