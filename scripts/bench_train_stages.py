@@ -68,7 +68,7 @@ def main():
     params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / np.sqrt(3))
     field = FieldFns.from_model(model)
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128, min_near=0.05,
-                       compact_fraction=0.25, density_thresh=1.0)
+                       compact_fraction=0.25, density_thresh=1.0, march_dense=True)
 
     grid = create(cfg.cascades, cfg.grid_size)
     grid = mark_untrained_grid(
@@ -147,23 +147,58 @@ def main():
 
         print(f"march (group={group:2d}):        {timeit(march_only)*1e3:8.2f} ms")
 
-    # --- compaction --------------------------------------------------------
-    @jax.jit
-    def march_compact(salt):
+    # --- dense-march cumulative stages (the actual train structure) --------
+    from tngp.ops import march_rays_dense
+    from tngp.ops.composite import composite_stream
+
+    def dense_march(salt):
         noise = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(5), salt.astype(jnp.int32)),
             (N_RAYS,))
-        res = march_rays(
+        return march_rays_dense(
             rays_o, rays_d, nears, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, K=cfg.K, noise=noise)
-        comp = compact_mask(res.mask, M_budget)
-        x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
-        d_c = gather_cf(res.dirs_cf.reshape(3, -1), comp)
-        return (x_c, d_c, comp.in_budget), salt + 1.0
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, noise=noise)
 
-    t_mc = timeit(march_compact)
-    print(f"march+compact:          {t_mc*1e3:8.2f} ms")
+    @jax.jit
+    def s_march(salt):
+        res = dense_march(salt)
+        return (res.xyzs_cf, res.mask, res.gaps), salt + 1.0
+
+    print(f"dense march only:       {timeit(s_march)*1e3:8.2f} ms")
+
+    @jax.jit
+    def s_compact(salt):
+        res = dense_march(salt)
+        comp = compact_mask(res.mask, M_budget)
+        K_eff = res.mask.shape[-1]
+        ray_id = comp.sel.astype(jnp.int32) // K_eff
+        x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
+        d_c = jnp.take(rays_d.T.astype(jnp.float32), ray_id, axis=1)
+        dt_c = jnp.take(res.dts.reshape(-1), comp.sel)
+        gap_c = jnp.take(res.gaps.reshape(-1), comp.sel)
+        rib = jnp.all(comp.in_budget == res.mask, axis=-1)
+        return (x_c, d_c, dt_c, gap_c, ray_id, rib), salt + 1.0
+
+    print(f"+ compact/gathers:      {timeit(s_compact)*1e3:8.2f} ms")
+
+    @jax.jit
+    def s_field(salt):
+        (x_c, d_c, dt_c, gap_c, ray_id, rib), _ = s_compact.__wrapped__(salt)
+        sig, rgb = field.sigma_rgb(params, x_c, d_c)
+        return (sig, rgb, dt_c, gap_c, ray_id, rib), salt + 1.0
+
+    print(f"+ field fwd:            {timeit(s_field)*1e3:8.2f} ms")
+
+    @jax.jit
+    def s_composite(salt):
+        (sig, rgb, dt_c, gap_c, ray_id, rib), _ = s_field.__wrapped__(salt)
+        ws, depth, image = composite_stream(
+            sig.astype(jnp.float32), rgb, dt_c, gap_c, ray_id,
+            jnp.ones_like(ray_id, bool), N_RAYS, cfg.T_thresh)
+        return (ws, depth, image, rib), salt + 1.0
+
+    print(f"+ stream composite:     {timeit(s_composite)*1e3:8.2f} ms")
 
     # --- field fwd / fwd+bwd at M ------------------------------------------
     xs = jax.random.uniform(jax.random.PRNGKey(11), (3, M_budget),

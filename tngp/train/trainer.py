@@ -218,15 +218,21 @@ class Trainer:
                     npts = jnp.int32(tc.num_rays * (cfg.num_steps + cfg.upsample_steps))
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)  # [N]
                 loss = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
-                return loss, (per_ray, npts)
+                return loss, (per_ray, rm, npts)
 
-            (loss, (per_ray, npts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, (per_ray, rm_out, npts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
 
             if use_error_map:
+                # budget-dropped rays render incomplete images — their
+                # per_ray error is an artifact, and writing it back inflates
+                # the map, which oversamples them, which drops more rays (a
+                # diverging feedback loop, measured -6 dB at 10K steps).
+                # Keep the old entry for dropped rays.
                 em_row = error_map[idx]
-                new_vals = 0.1 * em_row[r["inds_coarse"]] + 0.9 * per_ray
+                old = em_row[r["inds_coarse"]]
+                new_vals = jnp.where(rm_out > 0, 0.1 * old + 0.9 * per_ray, old)
                 em_row = em_row.at[r["inds_coarse"]].set(new_vals)
                 error_map = error_map.at[idx].set(em_row)
 
