@@ -80,8 +80,11 @@ def main():
     # occupancy) so grouped-budget marching truncates rays and costs PSNR;
     # march_dense skips the per-ray K slab entirely (the global M budget is
     # the only compaction), saving the ~68 ms binary-search/packed-gather.
+    # march_group only affects the eval residual rounds here (train is
+    # march_dense; the grouped march is exact under resume semantics)
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128, min_near=0.05,
-                       compact_fraction=0.25, density_thresh=1.0, march_dense=True)
+                       compact_fraction=0.25, density_thresh=1.0, march_dense=True,
+                       march_group=16)
 
     grid = create(cfg.cascades, cfg.grid_size)
     grid = mark_untrained_grid(

@@ -59,6 +59,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--error_map", action="store_true")
     ap.add_argument("--iters", type=int, default=30000)
+    ap.add_argument("--compact_fraction", type=float, default=0.25)
     ap.add_argument("--tag", type=str, default=None)
     args = ap.parse_args()
     tag = args.tag or ("em" if args.error_map else "base")
@@ -74,7 +75,7 @@ def main():
     model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16,
                        encoding="hashgrid_window")
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128,
-                       min_near=0.05, compact_fraction=0.25,
+                       min_near=0.05, compact_fraction=args.compact_fraction,
                        density_thresh=10.0, march_dense=True)
     tc = TrainConfig(
         name=f"hard_{tag}", workspace=f"/tmp/hard_{tag}", iters=args.iters,
