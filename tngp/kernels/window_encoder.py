@@ -187,16 +187,12 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
             selm = srow == lo  # [128, 8S]
             for c in range(C):
                 win_t = fat_ref[0, l, c].astype(mxu_dtype)  # [128, 64]
-                # G[row, col] = win[row, hi(col)] * w(col): no accumulation
-                # happens in this matmul (one nonzero per At column) and the
-                # select extracts a single row — bf16 here halves the VPU
-                # traffic of the [128, 8S] select-reduce at no extra rounding
-                g = jnp.dot(win_t, At, preferred_element_type=mxu_dtype)
+                # NOTE: Mosaic requires a 32-bit matmul accumulator
+                # (preferred_element_type=bf16 fails verification on-device
+                # while PASSING in interpret mode — do not retry)
+                g = jnp.dot(win_t, At, preferred_element_type=jnp.float32)
                 # lane-select row lo via sublane one-hot reduce -> [1, 8S]
-                val = jnp.sum(
-                    jnp.where(selm, g, jnp.zeros((), mxu_dtype)), axis=0,
-                    keepdims=True,
-                ).astype(jnp.float32)
+                val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
                 out_c = val[:, 0:S]
                 for k in range(1, 8):  # static lane slices (512-aligned)
                     out_c = out_c + val[:, k * S : (k + 1) * S]
