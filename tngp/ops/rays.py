@@ -11,7 +11,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.4e38)
+# plain python float: a module-level jnp array would initialize the default
+# backend (axon) at import time, before CLIs can apply TNGP_PLATFORM=cpu —
+# and hangs every tngp import when the TPU tunnel is unreachable
+_BIG = 3.4e38
 
 
 def near_far_from_aabb(
