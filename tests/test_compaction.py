@@ -56,3 +56,41 @@ def test_compacted_render_matches_full():
     cfg_t = replace(cfg, compact_fraction=0.3)
     tight = render_rays_train(field, None, o, d, bf, cfg_t)
     assert np.isfinite(np.asarray(tight["image"])).all()
+
+
+def test_compact_mask_hier_matches_flat_prefix(rng):
+    """Hierarchical compaction selects exactly the flat-order prefix."""
+    from tngp.ops.compaction import compact_mask_hier, ray_in_budget_from_counts
+
+    N, K = 64, 96  # N*K = 6144, not a multiple of G -> exercises padding
+    mask = jnp.asarray(rng.uniform(size=(N, K)) < 0.25)
+    flat = np.flatnonzero(np.asarray(mask).reshape(-1))
+    for M_budget in (128, 1024, 8192):
+        # chunk_budget=N*K/G: degenerate full chunk set -> exact flat prefix
+        # for ANY mask (the default 3*M/G budget assumes march-style run
+        # clustering; see the truncation test below)
+        comp = compact_mask_hier(mask, M_budget, G=8, chunk_budget=N * K // 8)
+        m_eff = int(comp.m_eff)
+        assert m_eff == min(len(flat), M_budget)
+        np.testing.assert_array_equal(
+            np.asarray(comp.sel[:m_eff]), flat[:m_eff]
+        )
+        assert int(comp.sel_valid.sum()) == m_eff
+        # ray_mask: ray fully in budget iff cumsum(counts) <= m_eff
+        counts = np.asarray(mask.sum(axis=-1))
+        rm = np.asarray(ray_in_budget_from_counts(jnp.asarray(counts), m_eff))
+        want_rm = np.cumsum(counts) <= m_eff
+        np.testing.assert_array_equal(rm, want_rm)
+
+
+def test_compact_mask_hier_chunk_truncation(rng):
+    """A tight chunk budget truncates to a (shorter) exact prefix."""
+    from tngp.ops.compaction import compact_mask_hier
+
+    N, K = 32, 64
+    mask = jnp.asarray(rng.uniform(size=(N, K)) < 0.3)
+    flat = np.flatnonzero(np.asarray(mask).reshape(-1))
+    comp = compact_mask_hier(mask, 2048, G=8, chunk_budget=128)
+    m_eff = int(comp.m_eff)
+    assert 0 < m_eff <= min(len(flat), 2048)
+    np.testing.assert_array_equal(np.asarray(comp.sel[:m_eff]), flat[:m_eff])

@@ -331,3 +331,54 @@ def test_render_train_dense_matches_slab():
         np.asarray(out_d["weights_sum"]), np.asarray(out_s["weights_sum"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_march_stream_matches_dense():
+    """march_rays_stream + ladder_samples reproduce march_rays_dense exactly
+    (mask/counts bitwise; per-sample t/dt/xyz recomputed from the ladder)."""
+    from tngp.ops import march_rays_dense, march_rays_stream, ladder_samples
+    from tngp.ops.compaction import compact_mask_hier
+
+    rng = np.random.default_rng(3)
+    N, S = 64, 128
+    kw = dict(bound=1.0, cascades=1, grid_size=32, dt_gamma=0.003, max_steps=S)
+    o = jnp.asarray(np.array([0, 0, -2.2]) + rng.normal(0, 0.1, (N, 3)), jnp.float32)
+    d = np.asarray(rng.uniform(-0.4, 0.4, (N, 3))) - np.asarray(o)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    occ = jnp.asarray(rng.uniform(size=(32**3,)) < 0.4, jnp.float32)
+    bf = packbits(occ, 0.5)
+    nears = jnp.full((N,), 0.05)
+    fars = jnp.full((N,), 4.0)
+    noise = jnp.asarray(rng.uniform(size=(N,)), jnp.float32)
+
+    dense = march_rays_dense(o, d, nears, fars, bf, noise=noise, **kw)
+    stream = march_rays_stream(o, d, nears, fars, bf, noise=noise, **kw)
+    np.testing.assert_array_equal(np.asarray(stream.mask), np.asarray(dense.mask))
+    np.testing.assert_array_equal(np.asarray(stream.counts), np.asarray(dense.counts))
+    np.testing.assert_allclose(
+        np.asarray(stream.next_t), np.asarray(dense.next_t), rtol=1e-6
+    )
+
+    M = 4096
+    comp = compact_mask_hier(stream.mask, M)
+    ray_id, x_cf, d_cf, dt, t_rel = ladder_samples(
+        comp.sel, o, d, stream.t0, **kw
+    )
+    m_eff = int(comp.m_eff)
+    sel = np.asarray(comp.sel[:m_eff])
+    rr, cc = sel // S, sel % S
+    np.testing.assert_array_equal(np.asarray(ray_id[:m_eff]), rr)
+    np.testing.assert_allclose(
+        np.asarray(x_cf[:, :m_eff]), np.asarray(dense.xyzs_cf)[:, rr, cc],
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dt[:m_eff]), np.asarray(dense.dts)[rr, cc], rtol=1e-6
+    )
+    # t_rel telescopes the dense gaps: cumsum of gaps over valid rungs
+    gaps = np.asarray(dense.gaps)
+    mask = np.asarray(dense.mask)
+    gcum = np.cumsum(gaps * mask, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(t_rel[:m_eff]), gcum[rr, cc], rtol=1e-4, atol=1e-5
+    )

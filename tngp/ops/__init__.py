@@ -10,7 +10,16 @@ from .freq import freq_encode, freq_output_dim
 from .grid_utils import bitfield_probe, morton3d, morton3d_invert, packbits
 from .hashgrid import HashGridSpec, hash_encode, hash_encode_tv_grad
 from .losses import eff_distloss, huber_loss, mape_loss
-from .march import MarchResult, grid_cell_index, march_rays, march_rays_dense, mip_level
+from .march import (
+    MarchResult,
+    StreamMarch,
+    grid_cell_index,
+    ladder_samples,
+    march_rays,
+    march_rays_dense,
+    march_rays_stream,
+    mip_level,
+)
 from .rays import near_far_from_aabb, sph_from_ray
 from .sampling import sample_pdf
 from .sh import sh_encode
@@ -35,6 +44,9 @@ __all__ = [
     "grid_cell_index",
     "march_rays",
     "march_rays_dense",
+    "march_rays_stream",
+    "ladder_samples",
+    "StreamMarch",
     "mip_level",
     "near_far_from_aabb",
     "sph_from_ray",

@@ -139,11 +139,12 @@ def composite_stream(
     sigmas: jax.Array,  # [M] compacted (ray-major order)
     rgbs_cf: jax.Array,  # [3, M]
     dts: jax.Array,  # [M]
-    gaps: jax.Array,  # [M] real t advance (for depth)
+    gaps: jax.Array,  # [M] real t advance (for depth); ignored if t_cum given
     ray_id: jax.Array,  # [M] int32 nondecreasing ray of each sample
     valid: jax.Array,  # [M] bool (False = padding slot)
     n_rays: int,
     T_thresh: float = 1e-4,
+    t_cum: jax.Array | None = None,  # [M] per-sample advance since ray start
 ):
     """Composite directly on the globally-compacted sample stream.
 
@@ -153,6 +154,12 @@ def composite_stream(
     dominant post-field cost).  Transmittance prefix sums become segmented
     scans keyed on ray boundaries; per-ray reduction is one deterministic
     scatter-add.  Returns (weights_sum [N], depth [N], image [N, 3]).
+
+    The depth accumulator needs each sample's cumulative advance since its
+    ray start.  Marchers that know the ladder origin pass it directly as
+    `t_cum` (= t + dt - t0, the telescoped sum of the gaps — see
+    ops/march.py ladder_samples), halving the segmented-scan work; otherwise
+    it is scanned from `gaps`.
     """
     m = valid.astype(jnp.float32)
     sig = sigmas.astype(jnp.float32) * m
@@ -163,10 +170,14 @@ def composite_stream(
         [jnp.ones((1,), bool), rid[1:] != rid[:-1]]
     )
 
-    # segmented inclusive sums of (tau, gap) in one scan
-    seg_in = jnp.stack([tau, gaps.astype(jnp.float32) * m], axis=0)  # [2, M]
-    seg = _segmented_cumsum(seg_in, is_start)
-    acc, t_cum = seg[0], seg[1]
+    if t_cum is None:
+        # segmented inclusive sums of (tau, gap) in one scan
+        seg_in = jnp.stack([tau, gaps.astype(jnp.float32) * m], axis=0)  # [2, M]
+        seg = _segmented_cumsum(seg_in, is_start)
+        acc, t_cum = seg[0], seg[1]
+    else:
+        acc = _segmented_cumsum(tau[None], is_start)[0]
+        t_cum = t_cum.astype(jnp.float32)
     T_before = jnp.exp(-(acc - tau))
     alpha = -jnp.expm1(-tau)
     weights = T_before * alpha * m

@@ -430,6 +430,129 @@ def march_rays_dense(
     )
 
 
+class StreamMarch(NamedTuple):
+    """Result of the materialization-free training march (march_rays_stream).
+
+    Only the occupancy verdict is stored; per-sample t/dt/positions are
+    recomputed after global compaction from the closed-form ladder
+    (ladder_samples) — 131K vector flops instead of writing + gathering
+    24 MB [3, N, S] arrays.
+    """
+
+    mask: jax.Array  # [N, S] bool rung validity
+    counts: jax.Array  # [N] int32 valid rungs per ray
+    t0: jax.Array  # [N] noise-shifted start t (the ladder origin)
+    next_t: jax.Array  # [N] resume t (ladder end, clipped to fars)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bound", "cascades", "grid_size", "dt_gamma", "max_steps"),
+)
+def march_rays_stream(
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    t_start: jax.Array,  # [N]
+    fars: jax.Array,  # [N]
+    bitfield: jax.Array,
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    noise: jax.Array | None = None,
+) -> StreamMarch:
+    """march_rays_dense minus the [*, N, S] materialization: probe every
+    ladder rung, return ONLY the validity mask (+ counts / ladder origin).
+
+    Same rung semantics as march_rays_dense (identical ladder, position,
+    mip-level and probe math); callers reconstruct compacted per-sample
+    geometry with ladder_samples, which telescopes the depth accumulator
+    (t_cum = t + dt - t0) so the dense path's [N, S] cummax/gaps apparatus
+    is never built.
+    """
+    N = rays_o.shape[0]
+    S = max_steps
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    t0 = t_start.astype(jnp.float32)
+    if noise is not None:
+        dt0 = jnp.clip(t0 * dt_gamma, dt_min, dt_max)
+        t0 = t0 + dt0 * noise.astype(jnp.float32)
+
+    j = jnp.arange(S, dtype=jnp.int32)
+    ts = _t_ladder(t0, j, dt_gamma, dt_min, dt_max)  # [N, S]
+    dts = (
+        jnp.clip(ts * dt_gamma, dt_min, dt_max)
+        if dt_gamma > 0
+        else jnp.full_like(ts, dt_min)
+    )
+    px = jnp.clip(o[:, 0:1] + ts * d[:, 0:1], -bound, bound)
+    py = jnp.clip(o[:, 1:2] + ts * d[:, 1:2], -bound, bound)
+    pz = jnp.clip(o[:, 2:3] + ts * d[:, 2:3], -bound, bound)
+    mx = jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+    lvl = mip_level_from_max(mx, dts, cascades, grid_size)
+    cell = grid_cell_index_comp(px, py, pz, lvl, bound, cascades, grid_size)
+    occ = bitfield_probe(bitfield, cell.reshape(-1)).reshape(N, S)
+    maskf = occ & (ts < fars[:, None])
+
+    ladder_end = ts[:, -1] + dts[:, -1]
+    return StreamMarch(
+        mask=maskf,
+        counts=maskf.sum(axis=-1).astype(jnp.int32),
+        t0=t0,
+        next_t=jnp.minimum(ladder_end, fars.astype(jnp.float32)),
+    )
+
+
+def ladder_samples(
+    sel: jax.Array,  # [M] flat (ray*S + rung) indices from the compaction
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    t0: jax.Array,  # [N] ladder origin from march_rays_stream
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    dt_gamma: float,
+    max_steps: int,
+):
+    """Reconstruct per-sample geometry for compacted stream slots.
+
+    Returns (ray_id [M], x_cf [3, M], d_cf [3, M], dt [M], t_rel [M]) where
+    t_rel = t + dt - t0[ray] is the telescoped per-ray advance the stream
+    compositor uses for depth (sum of march gaps telescopes to exactly this).
+    All formulas match march_rays_dense bit-for-bit (same ladder closed form,
+    same clipped positions).
+    """
+    S = max_steps
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+    sel = sel.astype(jnp.int32)
+    ray_id = sel // S
+    rung = sel - ray_id * S
+
+    t0s = jnp.take(t0, ray_id)
+    t = _t_ladder(t0s, rung.reshape(-1, 1), dt_gamma, dt_min, dt_max)[:, 0]
+    dt = (
+        jnp.clip(t * dt_gamma, dt_min, dt_max)
+        if dt_gamma > 0
+        else jnp.full_like(t, dt_min)
+    )
+    od = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32)], axis=1
+    ).T  # [6, N]
+    ods = jnp.take(od, ray_id, axis=1)  # [6, M]
+    o_cf, d_cf = ods[:3], ods[3:]
+    x_cf = jnp.clip(o_cf + t[None, :] * d_cf, -bound, bound)
+    t_rel = t + dt - t0s
+    return ray_id, x_cf, d_cf, dt, t_rel
+
+
 def _march_rays_grouped(
     o, d, t0, fars, bitfield, *,
     bound, cascades, grid_size, dt_gamma, max_steps, K, group,

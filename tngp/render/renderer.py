@@ -153,13 +153,61 @@ def render_rays_train(
     if cfg.march_dense:
         if cfg.compact_fraction >= 1.0:
             raise ValueError("march_dense requires compact_fraction < 1")
-        from ..ops.march import march_rays_dense
+        from ..ops.compaction import compact_mask_hier, ray_in_budget_from_counts
+        from ..ops.march import ladder_samples, march_rays_stream
 
-        res = march_rays_dense(
+        # materialization-free march: only the [N, S] validity mask is kept;
+        # compacted per-sample geometry is recomputed from the closed-form
+        # ladder (march.py ladder_samples) — no [3, N, S] buffers, no
+        # 2M-element rank cumsum, no per-sample dt/gap gathers
+        res = march_rays_stream(
             rays_o, rays_d, nears, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, noise=noise,
         )
+        S = res.mask.shape[-1]
+        M_budget = min(
+            N * S,
+            max(128, -(-int(N * cfg.K * cfg.compact_fraction) // 128) * 128),
+        )
+        comp = compact_mask_hier(res.mask, M_budget)
+        ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+            comp.sel, rays_o, rays_d, res.t0,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+        )
+        out = field.sigma_rgb(params, x_c, d_c)
+        valid_f = comp.sel_valid.astype(jnp.float32)
+        aux = None
+        if len(out) == 3:
+            sig_c, rgb_c, aux_c = out
+            denom = jnp.maximum(res.counts.sum().astype(jnp.float32), 1.0)
+            aux = jax.tree_util.tree_map(
+                lambda a: (a.reshape(-1) * valid_f).sum() / denom, aux_c
+            )
+        else:
+            sig_c, rgb_c = out
+        ws, depth_raw, image = composite_stream(
+            sig_c.astype(jnp.float32) * cfg.density_scale,
+            rgb_c, dt_c, None, ray_id, comp.sel_valid, N, cfg.T_thresh,
+            t_cum=t_rel,
+        )
+        image = image + (1.0 - ws)[:, None] * bg
+        depth = jnp.clip(depth_raw - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+        results = {
+            "image": image,
+            "depth": depth,
+            "weights_sum": ws,
+            "num_points": res.counts.sum(),
+            "counts": res.counts,
+            # rays that lost samples to the global budget must not contribute
+            # to the loss (reference drops overflow rays,
+            # raymarching.cu:521-528)
+            "ray_mask": ray_in_budget_from_counts(res.counts, comp.m_eff),
+        }
+        if aux is not None:
+            results["aux"] = aux
+        return results
     else:
         res = march_rays(
             rays_o, rays_d, nears, fars, bitfield,
@@ -266,46 +314,58 @@ def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg)
     correctness is preserved by the residual round loop, so the budget only
     trades a (rare) extra residual round for never padding per-ray batches.
     Returns (rays_t, ws, depth_raw, image) accumulated state."""
-    from ..ops.compaction import compact_mask, gather_cf
-    from ..ops.march import march_rays_dense
+    from ..ops.compaction import compact_mask_hier
+    from ..ops.march import _t_ladder, ladder_samples, march_rays_stream
+    from ..ops.march import SQRT3
 
     N = rays_o.shape[0]
-    res = march_rays_dense(
+    res = march_rays_stream(
         rays_o, rays_d, nears, fars, bitfield,
         bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
         dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
     )
     S = res.mask.shape[-1]
     M = min(N * S, max(128, -(-int(N * cfg.K * cfg.eval_budget) // 128) * 128))
-    comp = compact_mask(res.mask, M)
-    ray_id = comp.sel.astype(jnp.int32) // S
-    x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
-    d_c = jnp.take(rays_d.T.astype(jnp.float32), ray_id, axis=1)
+    comp = compact_mask_hier(res.mask, M)
+    ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+        comp.sel, rays_o, rays_d, res.t0,
+        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+    )
     out = field.sigma_rgb(params, x_c, d_c)
     sig_c, rgb_c = out[0], out[1]
-    dt_c = jnp.take(res.dts.reshape(-1), comp.sel)
-    gap_c = jnp.take(res.gaps.reshape(-1), comp.sel)
     ws, depth_raw, image = composite_stream(
         sig_c.astype(jnp.float32) * cfg.density_scale,
-        rgb_c, dt_c, gap_c, ray_id, comp.sel_valid, N, cfg.T_thresh,
+        rgb_c, dt_c, None, ray_id, comp.sel_valid, N, cfg.T_thresh,
+        t_cum=t_rel,
     )
     # the stream compositor's t_cum is relative to the ray start; the eval
     # accumulator (and residual rounds) work in absolute t
     depth_raw = depth_raw + nears.astype(jnp.float32) * ws
-    # resume t: first budget-dropped valid rung, else the ladder end
-    dropped = res.mask & jnp.logical_not(comp.in_budget)  # [N, S]
-    has_drop = jnp.any(dropped, axis=-1)
-    drank = jnp.cumsum(dropped.astype(jnp.int32), axis=-1)
+    # resume t: first budget-dropped valid rung, else the ladder end.
+    # Samples are selected as a flat prefix (compact_mask_hier), so ray n got
+    # taken = clip(m_eff - base_n, 0, counts_n) of its counts_n valid rungs;
+    # the first dropped rung is its (taken+1)-th valid rung — found by binary
+    # search over the per-row valid-rank cumsum.
+    base = jnp.cumsum(res.counts) - res.counts  # exclusive
+    taken = jnp.clip(comp.m_eff - base, 0, res.counts)
+    has_drop = taken < res.counts
+    rank_row = jnp.cumsum(res.mask.astype(jnp.int32), axis=-1)  # [N, S]
+    want = (taken + 1)[:, None]
     lo = jnp.zeros((N, 1), jnp.int32)
     hi = jnp.full((N, 1), S, jnp.int32)
     for _ in range(max(1, S.bit_length())):
         mid = (lo + hi) >> 1
-        r = jnp.take_along_axis(drank, jnp.minimum(mid, S - 1), axis=1)
-        go_right = r < 1
+        r = jnp.take_along_axis(rank_row, jnp.minimum(mid, S - 1), axis=1)
+        go_right = r < want
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     found = jnp.minimum(lo[:, 0], S - 1)
-    t_res = jnp.take_along_axis(res.ts, found[:, None], axis=1)[:, 0]
+    dt_min = 2.0 * SQRT3 / cfg.max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
+    t_res = _t_ladder(
+        res.t0, found[:, None], cfg.dt_gamma, dt_min, dt_max
+    )[:, 0]
     rays_t = jnp.where(has_drop, t_res, res.next_t)
     return rays_t, ws, depth_raw, image
 
