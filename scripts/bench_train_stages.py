@@ -31,7 +31,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from tngp.data import make_synthetic_dataset, sample_rays
 from tngp.models import NGPNetwork
 from tngp.ops import march_rays, near_far_from_aabb
-from tngp.ops.compaction import compact_mask, gather_cf
 from tngp.ops.composite import composite_rays_cf
 from tngp.render import (
     FieldFns,
@@ -147,58 +146,81 @@ def main():
 
         print(f"march (group={group:2d}):        {timeit(march_only)*1e3:8.2f} ms")
 
-    # --- dense-march cumulative stages (the actual train structure) --------
-    from tngp.ops import march_rays_dense
+    # --- stream-path cumulative stages (the actual train structure) --------
+    from tngp.ops import ladder_samples, march_rays_stream
+    from tngp.ops.compaction import compact_mask_hier, ray_in_budget_from_counts
     from tngp.ops.composite import composite_stream
 
-    def dense_march(salt):
+    mkw = dict(
+        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+    )
+
+    def stream_march(salt):
         noise = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(5), salt.astype(jnp.int32)),
             (N_RAYS,))
-        return march_rays_dense(
-            rays_o, rays_d, nears, fars, bitfield,
-            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, noise=noise)
+        return march_rays_stream(
+            rays_o, rays_d, nears, fars, bitfield, noise=noise, **mkw)
 
     @jax.jit
     def s_march(salt):
-        res = dense_march(salt)
-        return (res.xyzs_cf, res.mask, res.gaps), salt + 1.0
+        res = stream_march(salt)
+        return (res.mask, res.counts, res.t0), salt + 1.0
 
-    print(f"dense march only:       {timeit(s_march)*1e3:8.2f} ms")
+    print(f"stream march only:      {timeit(s_march)*1e3:8.2f} ms")
 
     @jax.jit
     def s_compact(salt):
-        res = dense_march(salt)
-        comp = compact_mask(res.mask, M_budget)
-        K_eff = res.mask.shape[-1]
-        ray_id = comp.sel.astype(jnp.int32) // K_eff
-        x_c = gather_cf(res.xyzs_cf.reshape(3, -1), comp)
-        d_c = jnp.take(rays_d.T.astype(jnp.float32), ray_id, axis=1)
-        dt_c = jnp.take(res.dts.reshape(-1), comp.sel)
-        gap_c = jnp.take(res.gaps.reshape(-1), comp.sel)
-        rib = jnp.all(comp.in_budget == res.mask, axis=-1)
-        return (x_c, d_c, dt_c, gap_c, ray_id, rib), salt + 1.0
+        res = stream_march(salt)
+        comp = compact_mask_hier(res.mask, M_budget)
+        ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+            comp.sel, rays_o, rays_d, res.t0, **mkw)
+        rib = ray_in_budget_from_counts(res.counts, comp.m_eff)
+        return (x_c, d_c, dt_c, t_rel, ray_id, comp.sel_valid, rib), salt + 1.0
 
-    print(f"+ compact/gathers:      {timeit(s_compact)*1e3:8.2f} ms")
+    print(f"+ compact/ladder:       {timeit(s_compact)*1e3:8.2f} ms")
 
     @jax.jit
     def s_field(salt):
-        (x_c, d_c, dt_c, gap_c, ray_id, rib), _ = s_compact.__wrapped__(salt)
+        (x_c, d_c, dt_c, t_rel, ray_id, sv, rib), _ = s_compact.__wrapped__(salt)
         sig, rgb = field.sigma_rgb(params, x_c, d_c)
-        return (sig, rgb, dt_c, gap_c, ray_id, rib), salt + 1.0
+        return (sig, rgb, dt_c, t_rel, ray_id, sv, rib), salt + 1.0
 
     print(f"+ field fwd:            {timeit(s_field)*1e3:8.2f} ms")
 
     @jax.jit
     def s_composite(salt):
-        (sig, rgb, dt_c, gap_c, ray_id, rib), _ = s_field.__wrapped__(salt)
+        (sig, rgb, dt_c, t_rel, ray_id, sv, rib), _ = s_field.__wrapped__(salt)
         ws, depth, image = composite_stream(
-            sig.astype(jnp.float32), rgb, dt_c, gap_c, ray_id,
-            jnp.ones_like(ray_id, bool), N_RAYS, cfg.T_thresh)
+            sig.astype(jnp.float32), rgb, dt_c, None, ray_id,
+            sv, N_RAYS, cfg.T_thresh, t_cum=t_rel)
         return (ws, depth, image, rib), salt + 1.0
 
     print(f"+ stream composite:     {timeit(s_composite)*1e3:8.2f} ms")
+
+    # --- loss fwd+bwd only (no optimizer) and optimizer-only ----------------
+    @jax.jit
+    def s_fwd_bwd(salt):
+        k = jax.random.fold_in(jax.random.PRNGKey(3), salt.astype(jnp.int32))
+        l, g = jax.value_and_grad(loss_fn)(params, k, bitfield, 0)
+        return (l, g), salt + 1.0
+
+    print(f"loss fwd+bwd only:      {timeit(s_fwd_bwd)*1e3:8.2f} ms")
+
+    grads0 = jax.jit(
+        lambda: jax.grad(loss_fn)(params, jax.random.PRNGKey(3), bitfield, 0)
+    )()
+    jax.block_until_ready(grads0)
+
+    @jax.jit
+    def s_adam(salt):
+        g2 = jax.tree_util.tree_map(lambda g: g + salt * 1e-12, grads0)
+        upd, o2 = tx.update(g2, opt_state, params)
+        p2 = optax.apply_updates(params, upd)
+        return (p2, o2), salt + 1.0
+
+    print(f"adam update only:       {timeit(s_adam)*1e3:8.2f} ms")
 
     # --- field fwd / fwd+bwd at M ------------------------------------------
     xs = jax.random.uniform(jax.random.PRNGKey(11), (3, M_budget),

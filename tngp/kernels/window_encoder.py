@@ -85,15 +85,27 @@ def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
     NB = M_pad // block
 
     key = sample_tiles(x01_cf)  # [M]
-    onehot = (key[:, None] == jnp.arange(N_TILES, dtype=jnp.int32)[None, :]).astype(
-        jnp.int32
-    )
-    cum = jnp.cumsum(onehot, axis=0)  # [M, 64]
-    counts = cum[-1]  # [64]
+    # stable within-tile rank via a two-level counting scan: block-local
+    # cumsums (short axis-1 scans) + an exclusive block-base cumsum over the
+    # tiny [M/BS, 64] totals — equivalent to cumsum(onehot, axis=0) over
+    # [M, 64] but without the M-long scan axis (the slow direction on TPU)
+    BS = 512
+    padm = (-M) % BS
+    keyp = jnp.concatenate([key, jnp.full((padm,), -1, jnp.int32)]) if padm else key
+    NBk = keyp.shape[0] // BS
+    onehot = (
+        keyp.reshape(NBk, BS)[:, :, None]
+        == jnp.arange(N_TILES, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.int32)  # [NBk, BS, 64]
+    blk_cum = jnp.cumsum(onehot, axis=1)  # [NBk, BS, 64]
+    blk_tot = blk_cum[:, -1, :]  # [NBk, 64]
+    blk_base = jnp.cumsum(blk_tot, axis=0) - blk_tot  # exclusive [NBk, 64]
+    counts = blk_tot.sum(axis=0)  # [64]
     padded = -(-counts // block) * block
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
     )  # [64] exclusive, block-aligned
+    cum = (blk_base[:, None, :] + blk_cum).reshape(-1, N_TILES)[:M]  # [M, 64]
     within = jnp.take_along_axis(cum, key[:, None], axis=1)[:, 0] - 1
     dest = jnp.take(starts, key) + within  # [M], unique, < M_pad
 
