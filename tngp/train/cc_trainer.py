@@ -101,7 +101,11 @@ class CCTrainer(Trainer):
         self.field = self._cc_field(new_cfg)
         self.key, k = jax.random.split(self.key)
         self.params = self._init_params(k)
-        self.ema_params = self.params
+        # real copy: params and ema are both donated into the fused step —
+        # aliased buffers would be donated twice
+        from .ema import ema_init
+
+        self.ema_params = ema_init(self.params)
         self._train_step = self._build_train_step()  # re-inits tx/opt_state
         if hasattr(self, "_eval_fn"):
             del self._eval_fn
@@ -118,8 +122,10 @@ class CCTrainer(Trainer):
         tx = self.tx
         K = cc_cfg.K
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, _em, bitfield):
+        ema_decay = tc.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, ema_params, key, _em, bitfield):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (), 0, n_frames)
             r = sample_rays(k_rays, poses[idx], intr, H, W, tc.num_rays)
@@ -163,7 +169,11 @@ class CCTrainer(Trainer):
             (loss, npts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, jnp.zeros((1, 1)), loss, npts
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                ema_params, params,
+            )
+            return params, opt_state, ema_params, jnp.zeros((1, 1)), loss, npts
 
         return step
 

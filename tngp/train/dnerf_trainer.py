@@ -98,8 +98,10 @@ class DNeRFTrainer(Trainer):
         tx = self.tx
         deform_reg = self.deform_reg
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, _unused_em, bitfield_t):
+        ema_decay = tc.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, ema_params, key, _unused_em, bitfield_t):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (), 0, n_frames)
             t = times[idx]
@@ -151,7 +153,11 @@ class DNeRFTrainer(Trainer):
             (loss, npts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, jnp.zeros((1, 1)), loss, npts
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                ema_params, params,
+            )
+            return params, opt_state, ema_params, jnp.zeros((1, 1)), loss, npts
 
         return step
 

@@ -66,8 +66,10 @@ class TensoRFTrainer(Trainer):
         tx = self.tx
         l1w = self.l1_reg_weight
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, _em, bitfield):
+        ema_decay = tc.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, ema_params, key, _em, bitfield):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (), 0, n_frames)
             r = sample_rays(k_rays, poses[idx], intr, H, W, tc.num_rays)
@@ -92,7 +94,11 @@ class TensoRFTrainer(Trainer):
             (loss, npts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, jnp.zeros((1, 1)), loss, npts
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                ema_params, params,
+            )
+            return params, opt_state, ema_params, jnp.zeros((1, 1)), loss, npts
 
         return step
 
@@ -172,15 +178,15 @@ class TensoRFTrainer(Trainer):
             self.maybe_update_grid()
             self.key, k = jax.random.split(self.key)
             em = jnp.zeros((1, 1))
-            self.params, self.opt_state, _, loss, npts = self._train_step(
-                self.params, self.opt_state, k, em, self.grid.bitfield
+            (
+                self.params, self.opt_state, self.ema_params, _, loss, npts,
+            ) = self._train_step(
+                self.params, self.opt_state, self.ema_params, k, em,
+                self.grid.bitfield,
             )
             self.global_step += 1
             total_loss += float(loss)
             total_pts += int(npts)
-        from .ema import ema_update
-
-        self.ema_params = ema_update(self.ema_params, self.params, self.tc.ema_decay)
         dt = time.time() - t0
         avg = total_loss / steps
         self.stats["loss"].append(avg)

@@ -43,7 +43,7 @@ from ..render import (
 from ..utils.colors import srgb_to_linear
 from ..utils.config import TrainConfig
 from .checkpoint import latest_checkpoint, load_checkpoint, load_meta, save_checkpoint
-from .ema import ema_init, ema_update
+from .ema import ema_init
 from .metrics import PSNRMeter
 
 
@@ -174,8 +174,10 @@ class Trainer:
 
         mesh = self.mesh
 
-        @partial(jax.jit, donate_argnums=(0, 1, 3))
-        def step(params, opt_state, key, error_map, bitfield):
+        ema_decay = self.tc.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 4))
+        def step(params, opt_state, ema_params, key, error_map, bitfield):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (), 0, n_frames)
             em = error_map[idx] if use_error_map else None
@@ -223,6 +225,13 @@ class Trainer:
             (loss, (per_ray, rm_out, npts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            # per-STEP EMA fused into the step program (a separate jitted
+            # ema_update per step costs one dispatch + a full param-tree
+            # read/write round trip; see PERF.md trainer-loop lessons)
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                ema_params, params,
+            )
 
             if use_error_map:
                 # budget-dropped rays render incomplete images — their
@@ -236,7 +245,7 @@ class Trainer:
                 em_row = em_row.at[r["inds_coarse"]].set(new_vals)
                 error_map = error_map.at[idx].set(em_row)
 
-            return params, opt_state, error_map, loss, npts
+            return params, opt_state, ema_params, error_map, loss, npts
 
         return step
 
@@ -325,8 +334,16 @@ class Trainer:
                 continue
             self.key, k = jax.random.split(self.key)
             em = self.error_map if self.error_map is not None else jnp.zeros((1, 1))
-            self.params, self.opt_state, em, loss, npts = self._train_step(
-                self.params, self.opt_state, k, em, self.grid.bitfield
+            # per-STEP EMA, fused into the step.  The reference's NeRF
+            # trainer updates per epoch (nerf/utils.py:1051-1052) but its SDF
+            # trainer per step (sdf/utils.py:349-350); we follow the SDF
+            # cadence — at our 500-step epochs a per-epoch EMA lags so far
+            # behind that eval renders ~30 dB below the train fit
+            (
+                self.params, self.opt_state, self.ema_params, em, loss, npts,
+            ) = self._train_step(
+                self.params, self.opt_state, self.ema_params, k, em,
+                self.grid.bitfield,
             )
             if self.error_map is not None:
                 self.error_map = em
@@ -335,14 +352,6 @@ class Trainer:
             # step and dominate wall time (measured 3.4 -> 11 it/s on chip)
             losses.append(loss)
             pts.append(npts)
-            # per-STEP EMA.  The reference's NeRF trainer updates per epoch
-            # (nerf/utils.py:1051-1052) but its SDF trainer per step
-            # (sdf/utils.py:349-350); we follow the SDF cadence — at our
-            # 500-step epochs a per-epoch EMA lags so far behind that eval
-            # renders ~30 dB below the train fit
-            self.ema_params = ema_update(
-                self.ema_params, self.params, self.tc.ema_decay
-            )
         total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         total_pts = int(jnp.sum(jnp.stack(pts))) if pts else 0
         dt = time.time() - t0
