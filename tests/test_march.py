@@ -382,3 +382,46 @@ def test_march_stream_matches_dense():
     np.testing.assert_allclose(
         np.asarray(t_rel[:m_eff]), gcum[rr, cc], rtol=1e-4, atol=1e-5
     )
+
+
+def test_march_chunked_matches_stream_compaction():
+    """march_rays_chunked (dilated coarse probe + candidate fine probe) selects
+    exactly the same sample prefix as march_rays_stream + compact_mask_hier,
+    for dt_gamma=0 and >0, single and multi cascade."""
+    from tngp.ops import march_rays_stream, march_rays_chunked
+    from tngp.ops.compaction import compact_mask_hier, ray_in_budget_from_counts
+
+    rng = np.random.default_rng(7)
+    for bound, cascades, dt_gamma in ((1.0, 1, 0.0), (2.0, 2, 0.004)):
+        N, S = 48, 128
+        kw = dict(bound=bound, cascades=cascades, grid_size=32,
+                  dt_gamma=dt_gamma, max_steps=S)
+        o = jnp.asarray(
+            np.array([0, 0, -2.0 * bound]) + rng.normal(0, 0.1, (N, 3)),
+            jnp.float32)
+        d = np.asarray(rng.uniform(-0.4, 0.4, (N, 3))) * bound - np.asarray(o)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+        occ = jnp.asarray(
+            rng.uniform(size=(cascades * 32**3,)) < 0.3, jnp.float32)
+        bf = packbits(occ, 0.5)
+        nears = jnp.full((N,), 0.05)
+        fars = jnp.full((N,), 4.0 * bound)
+        noise = jnp.asarray(rng.uniform(size=(N,)), jnp.float32)
+        M = 2048
+
+        stream = march_rays_stream(o, d, nears, fars, bf, noise=noise, **kw)
+        comp = compact_mask_hier(stream.mask, M, chunk_budget=N * S // 8)
+        ck = march_rays_chunked(
+            o, d, nears, fars, bf, M_budget=M, G=8,
+            chunk_budget=N * S // 8, noise=noise, **kw)
+
+        assert int(ck.m_eff) == int(comp.m_eff), (bound, dt_gamma)
+        m = int(ck.m_eff)
+        np.testing.assert_array_equal(
+            np.asarray(ck.sel[:m]), np.asarray(comp.sel[:m]))
+        np.testing.assert_allclose(
+            np.asarray(ck.t0), np.asarray(stream.t0), rtol=1e-6)
+        assert int(ck.num_points) == int(stream.counts.sum())
+        rm_ref = ray_in_budget_from_counts(stream.counts, comp.m_eff)
+        np.testing.assert_array_equal(
+            np.asarray(ck.ray_mask), np.asarray(rm_ref))

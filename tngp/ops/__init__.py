@@ -11,11 +11,13 @@ from .grid_utils import bitfield_probe, morton3d, morton3d_invert, packbits
 from .hashgrid import HashGridSpec, hash_encode, hash_encode_tv_grad
 from .losses import eff_distloss, huber_loss, mape_loss
 from .march import (
+    ChunkedMarch,
     MarchResult,
     StreamMarch,
     grid_cell_index,
     ladder_samples,
     march_rays,
+    march_rays_chunked,
     march_rays_dense,
     march_rays_stream,
     mip_level,
@@ -45,8 +47,10 @@ __all__ = [
     "march_rays",
     "march_rays_dense",
     "march_rays_stream",
+    "march_rays_chunked",
     "ladder_samples",
     "StreamMarch",
+    "ChunkedMarch",
     "mip_level",
     "near_far_from_aabb",
     "sph_from_ray",

@@ -430,6 +430,211 @@ def march_rays_dense(
     )
 
 
+def build_dilated_cell_grid(
+    bitfield: jax.Array,
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    dilate: int,
+) -> jax.Array:
+    """Full-resolution cascade-union occupancy, max-pool dilated by `dilate`
+    cells per axis.  Returns flat [H^3] bool over the global cube
+    [-bound, bound] (linear cell order).
+
+    Conservative chunk test for the two-level march: a ladder rung within
+    dilate*cell (L-inf, world units) of a probe point cannot be occupied
+    unless the probe point's dilated cell is set — every cascade's occupied
+    cells are ORed into the overlapping global cells first (so whichever mip
+    level a rung probes, its cell is covered).  Dilation is separable
+    (three 1-D max pools)."""
+    H = grid_size
+    bits = (bitfield[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    bits = bits.reshape(cascades, H, H, H).astype(jnp.float32)
+    g = jnp.zeros((H, H, H), jnp.float32)
+    for cas in range(cascades):
+        b_c = min(2.0**cas, bound)
+        if b_c >= bound:
+            g = g + bits[cas]
+        else:
+            M = jnp.asarray(_coarse_cascade_map(b_c, bound, H))
+            g = g + jnp.einsum("ijk,ia,jb,kc->abc", bits[cas], M, M, M)
+    w = 2 * dilate + 1
+    for axis in range(3):
+        win = tuple(w if a == axis else 1 for a in range(3))
+        g = jax.lax.reduce_window(g, -jnp.inf, jax.lax.max, win, (1, 1, 1), "SAME")
+    return (g > 0.5).reshape(-1)
+
+
+class ChunkedMarch(NamedTuple):
+    """Result of march_rays_chunked: compaction outputs, no [N, S] arrays."""
+
+    sel: jax.Array  # [M_budget] flat (ray*S + rung) indices, ascending
+    sel_valid: jax.Array  # [M_budget] bool
+    m_eff: jax.Array  # [] int32 number of real samples selected
+    ray_mask: jax.Array  # [N] bool: ray kept ALL its valid samples
+    num_points: jax.Array  # [] int32 valid rungs in considered chunks
+    t0: jax.Array  # [N] noise-shifted ladder origin
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bound", "cascades", "grid_size", "dt_gamma", "max_steps",
+        "M_budget", "G", "chunk_budget",
+    ),
+)
+def march_rays_chunked(
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    t_start: jax.Array,  # [N]
+    fars: jax.Array,  # [N]
+    bitfield: jax.Array,
+    *,
+    bound: float,
+    cascades: int,
+    grid_size: int,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    M_budget: int,
+    G: int = 8,
+    chunk_budget: int | None = None,
+    noise: jax.Array | None = None,
+) -> ChunkedMarch:
+    """Two-level march + compaction in one pass: probe G-rung chunk midpoints
+    against the dilated full-resolution grid, then fine-probe ONLY candidate
+    chunks — ~3x fewer gather indices than probing every rung (the XLA gather
+    ceiling, ~6.5 ns/idx, is the probe's whole cost; see PERF.md), and the
+    coarse flags double as the hierarchical compaction's first stage.
+
+    Exact-prefix semantics (same contract as march_rays_stream +
+    compact_mask_hier): the dilated coarse test is conservative, so candidate
+    chunks are a superset of live chunks IN FLAT ORDER, and the selected set
+    is exactly the first m_eff valid samples with m_eff = min(M_budget,
+    valid samples in the first chunk_budget coarse-live chunks).  Chunks
+    whose t-span exceeds the dilation coverage are forced live (the
+    dt_gamma > 0 far field), preserving conservativeness for any ladder.
+    """
+    N = rays_o.shape[0]
+    S = max_steps
+    if S % G:
+        raise ValueError(f"max_steps {S} must be a multiple of chunk size {G}")
+    NCr = S // G
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+    cell = 2.0 * bound / grid_size
+    # dilation sized for the uniform-dt_min regime; chunks with a larger
+    # t-span (geometric/dt_max phases) fall back to live=True
+    dilate = max(1, int(math.ceil(0.5 * (G - 1) * dt_min / cell)))
+
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    t0 = t_start.astype(jnp.float32)
+    if noise is not None:
+        dt0 = jnp.clip(t0 * dt_gamma, dt_min, dt_max)
+        t0 = t0 + dt0 * noise.astype(jnp.float32)
+    fars = fars.astype(jnp.float32)
+
+    grid = build_dilated_cell_grid(
+        bitfield, bound=bound, cascades=cascades, grid_size=grid_size,
+        dilate=dilate,
+    )
+
+    # ---- coarse stage: one dilated-grid probe per chunk midpoint ----------
+    jg = jnp.arange(NCr, dtype=jnp.int32) * G
+    t_lo = _t_ladder(t0, jg, dt_gamma, dt_min, dt_max)  # [N, NCr]
+    t_hi = _t_ladder(t0, jg + (G - 1), dt_gamma, dt_min, dt_max)
+    tc = 0.5 * (t_lo + t_hi)
+    halfext = 0.5 * (t_hi - t_lo)
+    H = grid_size
+    cix = []
+    for c in range(3):
+        p = jnp.clip(o[:, c : c + 1] + tc * d[:, c : c + 1], -bound, bound)
+        cix.append(
+            jnp.clip(
+                jnp.floor((p + bound) / (2.0 * bound) * H), 0.0, float(H - 1)
+            ).astype(jnp.int32)
+        )
+    ccell = (cix[0] * H + cix[1]) * H + cix[2]
+    live = jnp.take(grid, ccell.reshape(-1)).reshape(N, NCr)
+    live = live | (halfext > dilate * cell)  # span exceeds dilation coverage
+    live = live & (t_lo < fars[:, None])
+
+    # ---- chunk selection (= hierarchical compaction stage 1) --------------
+    if chunk_budget is None:
+        chunk_budget = -(-3 * M_budget // G)
+    CB = min(N * NCr, -(-chunk_budget // 128) * 128)
+    flat_live = live.reshape(-1)
+    (csel,) = jnp.nonzero(flat_live, size=CB, fill_value=N * NCr - 1)
+    csel = csel.astype(jnp.int32)
+    n_live = flat_live.sum().astype(jnp.int32)
+    slot_ok = jnp.arange(CB, dtype=jnp.int32) < n_live  # [CB]
+
+    # ---- fine stage: exact ladder + bitfield probe on candidates only -----
+    cray = csel // NCr  # [CB] nondecreasing
+    jc = (csel - cray * NCr)[:, None] * G + jnp.arange(G, dtype=jnp.int32)  # [CB, G]
+    t0c = jnp.take(t0, cray)
+    ts = _t_ladder(t0c, jc, dt_gamma, dt_min, dt_max)  # [CB, G]
+    dts = (
+        jnp.clip(ts * dt_gamma, dt_min, dt_max)
+        if dt_gamma > 0
+        else jnp.full_like(ts, dt_min)
+    )
+    oc = jnp.take(o, cray, axis=0)  # [CB, 3]
+    dc = jnp.take(d, cray, axis=0)
+    px = jnp.clip(oc[:, 0:1] + ts * dc[:, 0:1], -bound, bound)
+    py = jnp.clip(oc[:, 1:2] + ts * dc[:, 1:2], -bound, bound)
+    pz = jnp.clip(oc[:, 2:3] + ts * dc[:, 2:3], -bound, bound)
+    mx = jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+    lvl = mip_level_from_max(mx, dts, cascades, grid_size)
+    ccells = grid_cell_index_comp(px, py, pz, lvl, bound, cascades, grid_size)
+    occ = bitfield_probe(bitfield, ccells.reshape(-1)).reshape(CB, G)
+    cand = occ & (ts < jnp.take(fars, cray)[:, None]) & slot_ok[:, None]
+
+    # ---- sample selection (= compaction stage 2) ---------------------------
+    ccum = jnp.cumsum(cand.reshape(-1).astype(jnp.int32))  # [CB*G] inclusive
+    total = ccum[-1]
+    m_eff = jnp.minimum(total, M_budget)
+    (s2,) = jnp.nonzero(cand.reshape(-1), size=M_budget, fill_value=0)
+    s2 = s2.astype(jnp.int32)
+    sel = jnp.take(csel, s2 // G) * G + (s2 % G)
+    sel = jnp.minimum(sel, N * S - 1)
+    want = jnp.arange(1, M_budget + 1, dtype=jnp.int32)
+
+    # ---- per-ray totals: candidates of a ray are contiguous in csel order —
+    # cum_counts[n] = ccum at the END of ray n's candidate range, found by
+    # binary search over the nondecreasing cray (17 rounds x [N] tiny gathers)
+    nq = jnp.arange(N, dtype=jnp.int32)
+    lo = jnp.zeros((N,), jnp.int32)
+    hi = jnp.full((N,), CB, jnp.int32)
+    for _ in range(max(1, CB.bit_length())):
+        mid = (lo + hi) >> 1
+        v = jnp.take(cray, jnp.minimum(mid, CB - 1))
+        ok_slot = jnp.take(slot_ok, jnp.minimum(mid, CB - 1))
+        # rank among candidates with (ray <= n); dead fill slots sort last
+        go_right = (v <= nq) & ok_slot & (mid < CB)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    # lo = number of candidate chunks belonging to rays <= n
+    cum_counts = jnp.where(
+        lo > 0, jnp.take(ccum, jnp.clip(lo * G - 1, 0, CB * G - 1)), 0
+    )
+    # a ray is loss-eligible iff the sample budget kept all its valid samples
+    # AND the chunk budget considered all its live chunks (rays at/after a
+    # chunk-budget cut are conservatively excluded)
+    truncated = (lo >= CB) & (n_live > CB)
+    ray_mask = (cum_counts <= m_eff) & jnp.logical_not(truncated)
+
+    return ChunkedMarch(
+        sel=sel,
+        sel_valid=want <= m_eff,
+        m_eff=m_eff,
+        ray_mask=ray_mask,
+        num_points=total,
+        t0=t0,
+    )
+
+
 class StreamMarch(NamedTuple):
     """Result of the materialization-free training march (march_rays_stream).
 

@@ -75,6 +75,12 @@ class RenderConfig:
     # first-pass eval sample budget as a multiple of N*K (0.75 covers the
     # mean ray with headroom; long-tail rays finish in residual rounds)
     eval_budget: float = 0.75
+    # >0: two-level chunked march for the dense train/eval stream paths
+    # (ops/march.py march_rays_chunked): probe G-rung chunk midpoints against
+    # a dilated full-resolution grid, fine-probe only candidate chunks —
+    # ~3x fewer probe gathers (the march's whole cost is the XLA gather
+    # ceiling).  0 = flat probe-every-rung stream path.
+    march_chunk: int = 8
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":
@@ -154,34 +160,54 @@ def render_rays_train(
         if cfg.compact_fraction >= 1.0:
             raise ValueError("march_dense requires compact_fraction < 1")
         from ..ops.compaction import compact_mask_hier, ray_in_budget_from_counts
-        from ..ops.march import ladder_samples, march_rays_stream
-
-        # materialization-free march: only the [N, S] validity mask is kept;
-        # compacted per-sample geometry is recomputed from the closed-form
-        # ladder (march.py ladder_samples) — no [3, N, S] buffers, no
-        # 2M-element rank cumsum, no per-sample dt/gap gathers
-        res = march_rays_stream(
-            rays_o, rays_d, nears, fars, bitfield,
-            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, noise=noise,
+        from ..ops.march import (
+            ladder_samples,
+            march_rays_chunked,
+            march_rays_stream,
         )
-        S = res.mask.shape[-1]
+
+        S = cfg.max_steps
         M_budget = min(
             N * S,
             max(128, -(-int(N * cfg.K * cfg.compact_fraction) // 128) * 128),
         )
-        comp = compact_mask_hier(res.mask, M_budget)
+        # materialization-free march: only validity survives the march;
+        # compacted per-sample geometry is recomputed from the closed-form
+        # ladder (march.py ladder_samples) — no [3, N, S] buffers, no
+        # 2M-element rank cumsum, no per-sample dt/gap gathers
+        if cfg.march_chunk > 0:
+            cm = march_rays_chunked(
+                rays_o, rays_d, nears, fars, bitfield,
+                bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+                dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+                M_budget=M_budget, G=cfg.march_chunk, noise=noise,
+            )
+            sel, sel_valid, t0 = cm.sel, cm.sel_valid, cm.t0
+            ray_mask, num_points = cm.ray_mask, cm.num_points
+        else:
+            res = march_rays_stream(
+                rays_o, rays_d, nears, fars, bitfield,
+                bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+                dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps, noise=noise,
+            )
+            comp = compact_mask_hier(res.mask, M_budget)
+            sel, sel_valid, t0 = comp.sel, comp.sel_valid, res.t0
+            # rays that lost samples to the global budget must not contribute
+            # to the loss (reference drops overflow rays,
+            # raymarching.cu:521-528)
+            ray_mask = ray_in_budget_from_counts(res.counts, comp.m_eff)
+            num_points = res.counts.sum()
         ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
-            comp.sel, rays_o, rays_d, res.t0,
+            sel, rays_o, rays_d, t0,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
         )
         out = field.sigma_rgb(params, x_c, d_c)
-        valid_f = comp.sel_valid.astype(jnp.float32)
+        valid_f = sel_valid.astype(jnp.float32)
         aux = None
         if len(out) == 3:
             sig_c, rgb_c, aux_c = out
-            denom = jnp.maximum(res.counts.sum().astype(jnp.float32), 1.0)
+            denom = jnp.maximum(num_points.astype(jnp.float32), 1.0)
             aux = jax.tree_util.tree_map(
                 lambda a: (a.reshape(-1) * valid_f).sum() / denom, aux_c
             )
@@ -189,7 +215,7 @@ def render_rays_train(
             sig_c, rgb_c = out
         ws, depth_raw, image = composite_stream(
             sig_c.astype(jnp.float32) * cfg.density_scale,
-            rgb_c, dt_c, None, ray_id, comp.sel_valid, N, cfg.T_thresh,
+            rgb_c, dt_c, None, ray_id, sel_valid, N, cfg.T_thresh,
             t_cum=t_rel,
         )
         image = image + (1.0 - ws)[:, None] * bg
@@ -198,12 +224,8 @@ def render_rays_train(
             "image": image,
             "depth": depth,
             "weights_sum": ws,
-            "num_points": res.counts.sum(),
-            "counts": res.counts,
-            # rays that lost samples to the global budget must not contribute
-            # to the loss (reference drops overflow rays,
-            # raymarching.cu:521-528)
-            "ray_mask": ray_in_budget_from_counts(res.counts, comp.m_eff),
+            "num_points": num_points,
+            "ray_mask": ray_mask,
         }
         if aux is not None:
             results["aux"] = aux
