@@ -425,3 +425,39 @@ def test_march_chunked_matches_stream_compaction():
         rm_ref = ray_in_budget_from_counts(stream.counts, comp.m_eff)
         np.testing.assert_array_equal(
             np.asarray(ck.ray_mask), np.asarray(rm_ref))
+
+
+def test_render_eval_chunked_matches_stream():
+    """render_rays_eval with the chunked march equals the flat stream path:
+    exactly under an ample eval budget, closely when residual rounds engage."""
+    from tngp.render import FieldFns, RenderConfig, render_rays_eval
+
+    def density(params, x_cf):
+        return 25.0 * jnp.exp(-jnp.sum(x_cf**2, axis=0) / (2 * 0.35**2))
+
+    field = FieldFns(
+        sigma_rgb=lambda p, x_cf, d_cf: (density(p, x_cf), jax.nn.sigmoid(x_cf)),
+        density=density,
+    )
+    rng = np.random.default_rng(11)
+    N = 64
+    o = jnp.asarray(np.array([0, 0, -2.4]) + rng.normal(0, 0.05, (N, 3)), jnp.float32)
+    d = np.asarray(rng.uniform(-0.3, 0.3, (N, 3))) - np.asarray(o)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    occ = jnp.asarray(rng.uniform(size=(32**3,)) < 0.5, jnp.float32)
+    bitfield = packbits(occ, 0.5)
+
+    base = dict(bound=1.0, grid_size=32, max_steps=128, K=64, min_near=0.05)
+    for eval_budget, tol in ((2.0, 1e-5), (0.25, 2e-2)):
+        cfg_s = RenderConfig(**base, eval_budget=eval_budget, march_chunk=0)
+        cfg_c = RenderConfig(**base, eval_budget=eval_budget, march_chunk=8)
+        out_s = render_rays_eval(field, None, o, d, bitfield, cfg_s)
+        out_c = render_rays_eval(field, None, o, d, bitfield, cfg_c)
+        np.testing.assert_allclose(
+            np.asarray(out_c["image"]), np.asarray(out_s["image"]),
+            atol=tol, err_msg=f"eval_budget={eval_budget}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_c["weights_sum"]), np.asarray(out_s["weights_sum"]),
+            atol=tol,
+        )

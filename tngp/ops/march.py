@@ -475,6 +475,8 @@ class ChunkedMarch(NamedTuple):
     ray_mask: jax.Array  # [N] bool: ray kept ALL its valid samples
     num_points: jax.Array  # [] int32 valid rungs in considered chunks
     t0: jax.Array  # [N] noise-shifted ladder origin
+    resume_t: jax.Array  # [N] t of the first un-selected valid rung (eval
+    #                      resume; = ladder end clipped to fars if none)
 
 
 @partial(
@@ -625,6 +627,45 @@ def march_rays_chunked(
     truncated = (lo >= CB) & (n_live > CB)
     ray_mask = (cum_counts <= m_eff) & jnp.logical_not(truncated)
 
+    # ---- eval resume: t just past each ray's LAST SELECTED sample ---------
+    # ray n took taken_n = clip(m_eff - base_n, 0, counts_n) of its counts_n
+    # valid rungs (prefix selection).  Resuming after its last taken sample
+    # is universally safe: the next valid rung (first dropped, or a rung in
+    # an unconsidered chunk) starts strictly later, and the rungs in between
+    # are invalid — a residual round re-probes them but cannot double-count.
+    # Locate the (base+taken)-th valid candidate: binary search the
+    # per-chunk valid-count cumsum, then a G-wide scan inside the chunk.
+    counts = cum_counts - jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_counts[:-1]])
+    base = cum_counts - counts
+    taken = jnp.clip(m_eff - base, 0, counts)
+    has_drop = (taken < counts) | truncated
+    cend = ccum.reshape(CB, G)[:, -1]  # [CB] inclusive valid count per chunk
+    want_rank = jnp.maximum(base + taken, 1)  # rank of the last taken valid
+    clo = jnp.zeros((N,), jnp.int32)
+    chi = jnp.full((N,), CB, jnp.int32)
+    for _ in range(max(1, CB.bit_length())):  # first chunk with cend >= want
+        mid = (clo + chi) >> 1
+        v = jnp.take(cend, jnp.minimum(mid, CB - 1))
+        go_right = (v < want_rank) & (mid < CB)
+        clo = jnp.where(go_right, mid + 1, clo)
+        chi = jnp.where(go_right, chi, mid)
+    cidx = jnp.minimum(clo, CB - 1)  # [N] chunk holding the last taken rung
+    cflags = jnp.take(cand, cidx, axis=0)  # [N, G]
+    prev = jnp.take(cend, cidx) - cflags.sum(axis=1)  # valid before the chunk
+    in_rank = jnp.cumsum(cflags.astype(jnp.int32), axis=1) + prev[:, None]
+    hit = cflags & (in_rank == want_rank[:, None])  # exactly one true (if any)
+    g_off = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    rung = (jnp.take(csel, cidx) - jnp.take(cray, cidx) * NCr) * G + g_off
+    t_sel_last = _t_ladder(t0, rung[:, None], dt_gamma, dt_min, dt_max)[:, 0]
+    dt_sel = (
+        jnp.clip(t_sel_last * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else dt_min
+    )
+    t_after = jnp.where(taken > 0, t_sel_last + dt_sel, t0)
+    t_last = _t_ladder(t0, jnp.full((N, 1), S - 1, jnp.int32), dt_gamma, dt_min, dt_max)[:, 0]
+    dt_last = jnp.clip(t_last * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else dt_min
+    ladder_end = t_last + dt_last
+    resume_t = jnp.minimum(jnp.where(has_drop, t_after, ladder_end), fars)
+
     return ChunkedMarch(
         sel=sel,
         sel_valid=want <= m_eff,
@@ -632,6 +673,7 @@ def march_rays_chunked(
         ray_mask=ray_mask,
         num_points=total,
         t0=t0,
+        resume_t=resume_t,
     )
 
 

@@ -337,20 +337,60 @@ def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg)
     trades a (rare) extra residual round for never padding per-ray batches.
     Returns (rays_t, ws, depth_raw, image) accumulated state."""
     from ..ops.compaction import compact_mask_hier
-    from ..ops.march import _t_ladder, ladder_samples, march_rays_stream
-    from ..ops.march import SQRT3
+    from ..ops.march import (
+        SQRT3,
+        _t_ladder,
+        ladder_samples,
+        march_rays_chunked,
+        march_rays_stream,
+    )
 
     N = rays_o.shape[0]
-    res = march_rays_stream(
-        rays_o, rays_d, nears, fars, bitfield,
-        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
-    )
-    S = res.mask.shape[-1]
+    S = cfg.max_steps
     M = min(N * S, max(128, -(-int(N * cfg.K * cfg.eval_budget) // 128) * 128))
-    comp = compact_mask_hier(res.mask, M)
+    if cfg.march_chunk > 0:
+        cm = march_rays_chunked(
+            rays_o, rays_d, nears, fars, bitfield,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+            M_budget=M, G=cfg.march_chunk,
+        )
+        sel, sel_valid, t0, rays_t = cm.sel, cm.sel_valid, cm.t0, cm.resume_t
+    else:
+        res = march_rays_stream(
+            rays_o, rays_d, nears, fars, bitfield,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+        )
+        comp = compact_mask_hier(res.mask, M)
+        sel, sel_valid, t0 = comp.sel, comp.sel_valid, res.t0
+        # resume t: first budget-dropped valid rung, else the ladder end.
+        # Samples are a flat prefix (compact_mask_hier), so ray n got
+        # taken = clip(m_eff - base_n, 0, counts_n) of its counts_n valid
+        # rungs; the first dropped rung is its (taken+1)-th valid rung —
+        # found by binary search over the per-row valid-rank cumsum.
+        base = jnp.cumsum(res.counts) - res.counts  # exclusive
+        taken = jnp.clip(comp.m_eff - base, 0, res.counts)
+        has_drop = taken < res.counts
+        rank_row = jnp.cumsum(res.mask.astype(jnp.int32), axis=-1)  # [N, S]
+        want = (taken + 1)[:, None]
+        lo = jnp.zeros((N, 1), jnp.int32)
+        hi = jnp.full((N, 1), S, jnp.int32)
+        for _ in range(max(1, S.bit_length())):
+            mid = (lo + hi) >> 1
+            r = jnp.take_along_axis(rank_row, jnp.minimum(mid, S - 1), axis=1)
+            go_right = r < want
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        found = jnp.minimum(lo[:, 0], S - 1)
+        dt_min = 2.0 * SQRT3 / cfg.max_steps
+        dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
+        t_res = _t_ladder(
+            res.t0, found[:, None], cfg.dt_gamma, dt_min, dt_max
+        )[:, 0]
+        rays_t = jnp.where(has_drop, t_res, res.next_t)
     ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
-        comp.sel, rays_o, rays_d, res.t0,
+        sel, rays_o, rays_d, t0,
         bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
         dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
     )
@@ -358,37 +398,12 @@ def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg)
     sig_c, rgb_c = out[0], out[1]
     ws, depth_raw, image = composite_stream(
         sig_c.astype(jnp.float32) * cfg.density_scale,
-        rgb_c, dt_c, None, ray_id, comp.sel_valid, N, cfg.T_thresh,
+        rgb_c, dt_c, None, ray_id, sel_valid, N, cfg.T_thresh,
         t_cum=t_rel,
     )
     # the stream compositor's t_cum is relative to the ray start; the eval
     # accumulator (and residual rounds) work in absolute t
     depth_raw = depth_raw + nears.astype(jnp.float32) * ws
-    # resume t: first budget-dropped valid rung, else the ladder end.
-    # Samples are selected as a flat prefix (compact_mask_hier), so ray n got
-    # taken = clip(m_eff - base_n, 0, counts_n) of its counts_n valid rungs;
-    # the first dropped rung is its (taken+1)-th valid rung — found by binary
-    # search over the per-row valid-rank cumsum.
-    base = jnp.cumsum(res.counts) - res.counts  # exclusive
-    taken = jnp.clip(comp.m_eff - base, 0, res.counts)
-    has_drop = taken < res.counts
-    rank_row = jnp.cumsum(res.mask.astype(jnp.int32), axis=-1)  # [N, S]
-    want = (taken + 1)[:, None]
-    lo = jnp.zeros((N, 1), jnp.int32)
-    hi = jnp.full((N, 1), S, jnp.int32)
-    for _ in range(max(1, S.bit_length())):
-        mid = (lo + hi) >> 1
-        r = jnp.take_along_axis(rank_row, jnp.minimum(mid, S - 1), axis=1)
-        go_right = r < want
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    found = jnp.minimum(lo[:, 0], S - 1)
-    dt_min = 2.0 * SQRT3 / cfg.max_steps
-    dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
-    t_res = _t_ladder(
-        res.t0, found[:, None], cfg.dt_gamma, dt_min, dt_max
-    )[:, 0]
-    rays_t = jnp.where(has_drop, t_res, res.next_t)
     return rays_t, ws, depth_raw, image
 
 
