@@ -17,10 +17,11 @@ from tngp.kernels.window_encoder import (
     _bwd_pallas,
     _fwd_pallas,
     _gather_rows_pad,
-    _wid_map,
+    _level_views,
+    _wob_local,
     bin_samples,
 )
-from tngp.ops.window_table import N_TILES, WIN_HI, WIN_LANES, WindowSpec
+from tngp.ops.window_table import WindowSpec
 
 M = 131072
 BLOCK = 512
@@ -56,10 +57,9 @@ def main():
     xyz8 = jnp.concatenate(
         [xyz, valid, jnp.zeros((M_pad, 4), jnp.float32)], axis=1
     ).T  # [8, M_pad]
-    wid = jnp.asarray(_wid_map(spec).reshape(-1))
-    fat = jnp.take(win_tab, wid, axis=0).reshape(N_TILES, L, C, WIN_LANES, WIN_HI)
+    wob = _wob_local(spec, tob)  # [NB, L]
     g_sorted = jax.random.normal(k3, (L * C, M_pad))
-    jax.block_until_ready((xyz8, fat, g_sorted))
+    jax.block_until_ready((xyz8, wob, g_sorted))
     print(f"M_pad={M_pad} NB={M_pad // BLOCK}")
 
     for name, mxu_f32 in (("f32", True), ("bf16", False)):
@@ -69,8 +69,8 @@ def main():
         def kfwd(salt):
             x2 = xyz8.at[4, :].set(salt)  # input varies per call
             out = _fwd_pallas(
-                spec, x2, tob, fat, block=BLOCK, mxu_dtype=mxu_dtype,
-                interpret=False,
+                spec, x2, wob, _level_views(spec, win_tab), block=BLOCK,
+                mxu_dtype=mxu_dtype, interpret=False,
             )
             return out, salt + 1.0
 
@@ -81,13 +81,13 @@ def main():
         def kbwd(salt):
             x2 = xyz8.at[4, :].set(salt)
             out = _bwd_pallas(
-                spec, x2, tob, g_sorted + salt, block=BLOCK, mxu_dtype=mxu_dtype,
+                spec, x2, wob, g_sorted + salt, block=BLOCK, mxu_dtype=mxu_dtype,
                 interpret=False,
             )
             return out, salt + 1.0
 
         t = timeit(kbwd)
-        print(f"bwd kernel+fold ({name}): {t*1e3:8.2f} ms")
+        print(f"bwd kernel (+zero-mask) ({name}): {t*1e3:8.2f} ms")
 
     @jax.jit
     def glue_bin(salt):
@@ -109,13 +109,6 @@ def main():
 
     t = timeit(glue_gathers)
     print(f"gather+unsort:          {t*1e3:8.2f} ms")
-
-    @jax.jit
-    def glue_fat(salt):
-        return jnp.take(win_tab + salt, wid, axis=0), salt + 1.0
-
-    t = timeit(glue_fat)
-    print(f"fat build:              {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

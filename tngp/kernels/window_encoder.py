@@ -135,12 +135,6 @@ def _gather_rows_pad(x_rows: jax.Array, perm: jax.Array) -> jax.Array:
     return jnp.take(xp, jnp.minimum(perm, M), axis=0)
 
 
-def _wid_map(spec: WindowSpec) -> np.ndarray:
-    """[N_TILES, L] static global window id per (tile, level)."""
-    _, _, _, twin, woff = spec.const_tables()
-    return (woff[None, :] + twin.T).astype(np.int32)  # [64, L]
-
-
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -188,7 +182,8 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
 
-    def kernel(tob_ref, xyz_ref, fat_ref, out_ref):
+    def kernel(wob_ref, xyz_ref, *win_and_out):
+        win_refs, out_ref = win_and_out[:L], win_and_out[L]
         xyz = xyz_ref[:]  # [8, S]
         hrow = jax.lax.broadcasted_iota(jnp.int32, (WIN_HI, R), 0)
         srow = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, R), 0)
@@ -198,7 +193,7 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
             At = jnp.where(hrow == hi, w, 0.0).astype(mxu_dtype)  # [64, 8S]
             selm = srow == lo  # [128, 8S]
             for c in range(C):
-                win_t = fat_ref[0, l, c].astype(mxu_dtype)  # [128, 64]
+                win_t = win_refs[l][0, c].astype(mxu_dtype)  # [128, 64]
                 # NOTE: Mosaic requires a 32-bit matmul accumulator
                 # (preferred_element_type=bf16 fails verification on-device
                 # while PASSING in interpret mode — do not retry)
@@ -218,14 +213,17 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
 
-    def kernel(tob_ref, xyz_ref, g_ref, out_ref):
+    def kernel(wob_ref, xyz_ref, g_ref, *out_refs):
         b = pl.program_id(0)
         xyz = xyz_ref[:]  # [8, S]
         g_blk = g_ref[:]  # [LC, S]
         hrow = jax.lax.broadcasted_iota(jnp.int32, (WIN_HI, R), 0)
         srow = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, R), 0)
-        first = (b == 0) | (tob_ref[b] != tob_ref[jnp.maximum(b - 1, 0)])
         for l in range(L):
+            # blocks hitting the same window are consecutive (tiles are
+            # block-sorted and tile->window is monotone): the canonical
+            # Pallas revisit-accumulate pattern, per level
+            first = (b == 0) | (wob_ref[b, l] != wob_ref[jnp.maximum(b - 1, 0), l])
             hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
             At = (hrow == hi).astype(mxu_dtype)  # [64, 8S] unweighted onehot
             selm = srow == lo  # [128, 8S]
@@ -240,11 +238,11 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
 
                 @pl.when(first)
                 def _():
-                    out_ref[0, l, c] = gw_t
+                    out_refs[l][0, c] = gw_t
 
                 @pl.when(jnp.logical_not(first))
                 def _():
-                    out_ref[0, l, c] = out_ref[0, l, c] + gw_t
+                    out_refs[l][0, c] = out_refs[l][0, c] + gw_t
 
     return kernel
 
@@ -254,24 +252,40 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_pallas(spec, xyz8, tob, fat, *, block, mxu_dtype, interpret):
+def _wob_local(spec: WindowSpec, tob: jax.Array) -> jax.Array:
+    """[NB, L] within-level window index of each block (prefetched so the
+    kernels DMA level slices straight from the window-layout parameter —
+    no 64 MB tile-major fat table is ever materialized)."""
+    _, _, _, twin, _ = spec.const_tables()  # twin: [L, 64]
+    return jnp.take(jnp.asarray(twin.T), tob, axis=0)  # [NB, L]
+
+
+def _level_views(spec: WindowSpec, table_win: jax.Array):
+    """Per-level [n_win_l, C, 128, 64] views of the window-layout parameter."""
+    offs = spec.win_offsets
+    return [table_win[offs[l] : offs[l + 1]] for l in range(spec.num_levels)]
+
+
+def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret):
     L, C = spec.num_levels, spec.level_dim
     M_pad = xyz8.shape[1]
     NB = M_pad // block
+
+    def win_spec(l):
+        return pl.BlockSpec(
+            (1, C, WIN_LANES, WIN_HI),
+            lambda b, wob, l=l: (wob[b, l], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((8, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, L, C, WIN_LANES, WIN_HI),
-                lambda b, tob: (tob[b], 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+            pl.BlockSpec((8, block), lambda b, wob: (0, b), memory_space=pltpu.VMEM),
+        ] + [win_spec(l) for l in range(L)],
         out_specs=pl.BlockSpec(
-            (L * C, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM
+            (L * C, block), lambda b, wob: (0, b), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
@@ -280,41 +294,52 @@ def _fwd_pallas(spec, xyz8, tob, fat, *, block, mxu_dtype, interpret):
         out_shape=jax.ShapeDtypeStruct((L * C, M_pad), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(tob, xyz8, fat)
+    )(wob, xyz8, *wins)
 
 
-def _bwd_pallas(spec, xyz8, tob, g_sorted, *, block, mxu_dtype, interpret):
+def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret):
     L, C = spec.num_levels, spec.level_dim
     M_pad = xyz8.shape[1]
     NB = M_pad // block
+    n_wins = [spec.level_n_win(l) for l in range(L)]
+
+    def out_spec(l):
+        return pl.BlockSpec(
+            (1, C, WIN_LANES, WIN_HI),
+            lambda b, wob, l=l: (wob[b, l], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((8, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b, wob: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (L * C, block), lambda b, tob: (0, b), memory_space=pltpu.VMEM
+                (L * C, block), lambda b, wob: (0, b), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, L, C, WIN_LANES, WIN_HI),
-            lambda b, tob: (tob[b], 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[out_spec(l) for l in range(L)],
     )
-    fat_grad = pl.pallas_call(
+    gwins = pl.pallas_call(
         _make_bwd_kernel(spec, block, mxu_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (N_TILES, L, C, WIN_LANES, WIN_HI), jnp.float32
-        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_wins[l], C, WIN_LANES, WIN_HI), jnp.float32)
+            for l in range(L)
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(tob, xyz8, g_sorted)
-    # tiles never visited by any block hold uninitialized memory -> zero them
-    visited = jnp.zeros((N_TILES,), jnp.int32).at[tob].set(1)
-    return jnp.where(visited[:, None, None, None, None] == 1, fat_grad, 0.0)
+    )(wob, xyz8, g_sorted)
+    # windows never visited by any block hold uninitialized memory -> zero
+    # them, then reassemble the [NW, C, 128, 64] gradient
+    out = []
+    for l in range(L):
+        visited = jnp.zeros((n_wins[l],), jnp.int32).at[wob[:, l]].set(1)
+        out.append(
+            jnp.where(visited[:, None, None, None] == 1, gwins[l], 0.0)
+        )
+    return jnp.concatenate(out, axis=0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -347,34 +372,26 @@ def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret):
     xyz8 = jnp.concatenate(
         [xyz, valid, jnp.zeros((M_pad, 4), jnp.float32)], axis=1
     ).T  # [8, M_pad] channels-first (samples on lanes)
-    # tile-major fat table: all levels' windows per tile — a pure row gather
-    # (the parameter already lives in window layout)
-    wid = _wid_map(spec)  # [64, L] static
-    L, C = spec.num_levels, spec.level_dim
-    fat = jnp.take(
-        table_win.astype(jnp.float32), jnp.asarray(wid.reshape(-1)), axis=0
-    ).reshape(N_TILES, L, C, WIN_LANES, WIN_HI)
+    # per-(block, level) window ids, prefetched: the kernels DMA level slices
+    # straight out of the window-layout parameter
+    wob = _wob_local(spec, tob)  # [NB, L]
+    wins = _level_views(spec, table_win.astype(jnp.float32))
     feats_sorted = _fwd_pallas(
-        spec, xyz8, tob, fat, block=block, mxu_dtype=mxu_dtype, interpret=interpret
+        spec, xyz8, wob, wins, block=block, mxu_dtype=mxu_dtype,
+        interpret=interpret,
     )  # [LC, M_pad]
     feats = jnp.take(feats_sorted.T, dest, axis=0).T  # [LC, M] unsort
-    return feats, (xyz8, perm, tob, M)
+    return feats, (xyz8, perm, wob, M)
 
 
 def _binned_bwd(spec, block, mxu_f32, interpret, res, g):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
-    xyz8, perm, tob, M = res
+    xyz8, perm, wob, M = res
     g_sorted = _gather_rows_pad(g.astype(jnp.float32).T, perm).T  # [LC, M_pad]
-    fat_grad = _bwd_pallas(
-        spec, xyz8, tob, g_sorted, block=block, mxu_dtype=mxu_dtype,
+    gtab_win = _bwd_pallas(
+        spec, xyz8, wob, g_sorted, block=block, mxu_dtype=mxu_dtype,
         interpret=interpret,
-    )  # [64, L, C, 128, 64]
-    # fold shared windows: segment-sum the 64*L fat rows onto global windows
-    wid = jnp.asarray(_wid_map(spec).reshape(-1))  # [64*L]
-    L, C = spec.num_levels, spec.level_dim
-    flat = fat_grad.reshape(N_TILES * L, C * WIN_LANES * WIN_HI)
-    gwin = jax.ops.segment_sum(flat, wid, num_segments=spec.n_windows)
-    gtab_win = gwin.reshape(spec.n_windows, C, WIN_LANES, WIN_HI)
+    )  # [NW, C, 128, 64]
     gx = jnp.zeros((3, M), jnp.float32)
     return gx, gtab_win
 
