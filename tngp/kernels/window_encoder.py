@@ -9,23 +9,24 @@ Pipeline (all static shapes):
      (histogram + cumsum ranks — pure vector ops; the permutation is realized
      with one Pallas scatter pass).  Per-tile regions are padded to the
      compute block size so every block is tile-pure.
-  2. In XLA, gather the per-tile windows of ALL levels into a tile-major
-     "fat table" `[64, L, C, 64, 128]` (1024 window-granular rows, ~0.2 ms —
-     row gathers are the fast XLA indexing path).  This lets one grid step
-     process every level of a block, amortizing per-step overhead 16x
-     (measured: a (NB, L) grid spent ~9 us/step on overhead = 46 ms/pass).
-  3. forward kernel, grid (NB,): per step DMA the block's fat slice (all
-     levels) into VMEM; per level build `onehot(row>>7) * w` `[8*S, 64]` and
-     matmul against the window (`[8*S, 64] @ [64, 128]` on the MXU); a
-     lane-onehot reduce selects `row & 127`.  Level constants are static
-     Python — no in-kernel level dispatch.
-  4. backward kernel, grid (NB,): the fat-table gradient for a tile is the
-     transposed matmul `onehot_hi^T @ (onehot_lane * w * g)` per level.
-     Blocks are tile-sorted, so all blocks of one tile are consecutive grid
-     steps — the canonical Pallas revisit-accumulate pattern, fp32,
-     deterministic (no atomics, unlike the reference's atomicAdd at
-     gridencoder.cu:246-337).  An XLA segment-sum folds the fat gradient
-     back onto shared windows (levels with n_win < 64).
+  2. Precompute the tiny `[NB, L]` per-(block, level) window-id table and
+     scalar-prefetch it: each kernel step DMAs every level's window slice
+     straight out of the window-layout parameter (no tile-major "fat table"
+     is ever materialized — an earlier fat-gather variant cost ~3 ms and
+     64 MB of HBM traffic per pass).  One grid step processes every level of
+     a block, amortizing per-step overhead 16x (measured: a (NB, L) grid
+     spent ~9 us/step on overhead = 46 ms/pass).
+  3. forward kernel, grid (NB,): per level build `onehot(row>>7) * w`
+     `[8*S, 64]` and matmul against the window (`[8*S, 64] @ [64, 128]` on
+     the MXU); a lane-onehot reduce selects `row & 127`.  Level constants
+     are static Python — no in-kernel level dispatch.
+  4. backward kernel, grid (NB,): the window gradient is the transposed
+     matmul `onehot_hi^T @ (onehot_lane * w * g)` per level, written
+     directly into per-level `[n_win, C, 128, 64]` outputs.  Blocks hitting
+     one window are consecutive grid steps (tile-sorted blocks, monotone
+     tile->window maps) — the canonical Pallas revisit-accumulate pattern,
+     fp32, deterministic (no atomics, unlike the reference's atomicAdd at
+     gridencoder.cu:246-337).
 
 Layout rule: every sample-major array is row-major `[M_pad, *]` (samples on
 sublanes) because the onehot matmuls need samples as matrix rows — this keeps
