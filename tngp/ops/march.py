@@ -559,7 +559,12 @@ def march_rays_chunked(
         )
     ccell = (cix[0] * H + cix[1]) * H + cix[2]
     live = jnp.take(grid, ccell.reshape(-1)).reshape(N, NCr)
-    live = live | (halfext > dilate * cell)  # span exceeds dilation coverage
+    # span exceeds dilation coverage -> force live.  The epsilon keeps float
+    # rounding of the ladder difference from tipping the uniform-dt_min
+    # regime (halfext == dilate*cell analytically at exact-ceil boundaries)
+    # into all-chunks-live, which would flood the chunk budget; the slack is
+    # ~1e-4 of a cell, the same collision-class noise as clamped tiles.
+    live = live | (halfext > dilate * cell + 1e-6)
     live = live & (t_lo < fars[:, None])
 
     # ---- chunk selection (= hierarchical compaction stage 1) --------------
