@@ -54,6 +54,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--no_march_dense", action="store_true",
                    help="disable the slab-free dense train march "
                         "(ops/march.py march_rays_dense)")
+    p.add_argument("--march_chunk", type=int, default=8,
+                   help="rungs per two-level march chunk on the dense path "
+                        "(0 = flat probe-every-rung; ops/march.py "
+                        "march_rays_chunked)")
     p.add_argument("--profile", type=str, default="",
                    help="directory: capture a jax.profiler trace of the "
                         "first epoch (TensorBoard-viewable)")
@@ -117,6 +121,11 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         compact_fraction=opt.compact_fraction,
         # dense march requires an active global budget
         march_dense=(not opt.no_march_dense) and opt.compact_fraction < 1.0,
+        march_chunk=(
+            opt.march_chunk
+            if opt.march_chunk > 0 and opt.max_steps % opt.march_chunk == 0
+            else 0
+        ),
     )
     tc = TrainConfig(
         workspace=opt.workspace,

@@ -175,7 +175,7 @@ def render_rays_train(
         # compacted per-sample geometry is recomputed from the closed-form
         # ladder (march.py ladder_samples) — no [3, N, S] buffers, no
         # 2M-element rank cumsum, no per-sample dt/gap gathers
-        if cfg.march_chunk > 0:
+        if cfg.march_chunk > 0 and S % cfg.march_chunk == 0:
             cm = march_rays_chunked(
                 rays_o, rays_d, nears, fars, bitfield,
                 bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
@@ -348,7 +348,7 @@ def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg)
     N = rays_o.shape[0]
     S = cfg.max_steps
     M = min(N * S, max(128, -(-int(N * cfg.K * cfg.eval_budget) // 128) * 128))
-    if cfg.march_chunk > 0:
+    if cfg.march_chunk > 0 and S % cfg.march_chunk == 0:
         cm = march_rays_chunked(
             rays_o, rays_d, nears, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
