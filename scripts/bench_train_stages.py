@@ -222,6 +222,29 @@ def main():
 
     print(f"adam update only:       {timeit(s_adam)*1e3:8.2f} ms")
 
+    # --- density-grid maintenance (runs every 16 steps in the train loop) ---
+    def s_grid(salt):
+        g2 = update_density_grid(
+            grid, params, jax.random.fold_in(jax.random.PRNGKey(9),
+                                             salt.astype(jnp.int32)),
+            density_fn=field.density, bound=cfg.bound, grid_size=cfg.grid_size,
+            density_thresh=cfg.density_thresh, full=False)
+        return g2.bitfield, salt + 1.0
+
+    print(f"grid update (partial):  {timeit(s_grid)*1e3:8.2f} ms (/16 steps)")
+
+    # --- dilated-grid build (runs inside every chunked march) ---------------
+    from tngp.ops.march import build_dilated_cell_grid
+
+    @jax.jit
+    def s_dilate(salt):
+        bf2 = jnp.bitwise_xor(bitfield, salt.astype(jnp.uint8))
+        return build_dilated_cell_grid(
+            bf2, bound=cfg.bound, cascades=cfg.cascades,
+            grid_size=cfg.grid_size, dilate=2), salt + 1.0
+
+    print(f"dilated grid build:     {timeit(s_dilate)*1e3:8.2f} ms")
+
     # --- field fwd / fwd+bwd at M ------------------------------------------
     xs = jax.random.uniform(jax.random.PRNGKey(11), (3, M_budget),
                             minval=-1.0, maxval=1.0)
