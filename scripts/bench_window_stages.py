@@ -16,11 +16,12 @@ import jax.numpy as jnp
 from tngp.kernels.window_encoder import (
     _bwd_pallas,
     _fwd_pallas,
-    _gather_rows_pad,
     _level_views,
     _wob_local,
-    bin_samples,
+    bin_dest,
+    padded_size,
 )
+from tngp.kernels.scatter import scatter_add_auto
 from tngp.ops.window_table import WindowSpec
 
 M = 131072
@@ -50,13 +51,13 @@ def main():
     L, C = spec.num_levels, spec.level_dim
 
     # prebuild sorted inputs once
-    dest, perm, tob = jax.jit(bin_samples, static_argnames=("block",))(x, block=BLOCK)
-    M_pad = perm.shape[0]
-    xyz = _gather_rows_pad(x.T, perm)
-    valid = (perm < M).astype(jnp.float32)[:, None]
+    dest, tob = jax.jit(bin_dest, static_argnames=("block",))(x, block=BLOCK)
+    M_pad = padded_size(M, BLOCK)
+    payload = jnp.concatenate([x, jnp.ones((1, M), jnp.float32)], axis=0).T
+    xyz4 = scatter_add_auto(dest, payload, M_pad)
     xyz8 = jnp.concatenate(
-        [xyz, valid, jnp.zeros((M_pad, 4), jnp.float32)], axis=1
-    ).T  # [8, M_pad]
+        [xyz4.T, jnp.zeros((4, M_pad), jnp.float32)], axis=0
+    )  # [8, M_pad]
     wob = _wob_local(spec, tob)  # [NB, L]
     g_sorted = jax.random.normal(k3, (L * C, M_pad))
     jax.block_until_ready((xyz8, wob, g_sorted))
@@ -92,23 +93,30 @@ def main():
     @jax.jit
     def glue_bin(salt):
         xs = (x + salt * 1e-6) % 1.0
-        dest, perm, tob = bin_samples(xs, block=BLOCK)
-        return (dest, perm, tob), salt + 1.0
+        dest, tob = bin_dest(xs, block=BLOCK)
+        return (dest, tob), salt + 1.0
 
     t = timeit(glue_bin)
-    print(f"bin_samples (full out): {t*1e3:8.2f} ms")
+    print(f"bin_dest (ranks only):  {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def glue_sort(salt):
+        xs = (x + salt * 1e-6) % 1.0
+        p = jnp.concatenate([xs, jnp.ones((1, M), jnp.float32)], axis=0).T
+        return scatter_add_auto(dest, p, M_pad), salt + 1.0
+
+    t = timeit(glue_sort)
+    print(f"payload scatter-sort:   {t*1e3:8.2f} ms")
 
     feats = jnp.zeros((M_pad, L * C))
 
     @jax.jit
-    def glue_gathers(salt):
-        xs = (x + salt * 1e-6) % 1.0
-        xyzg = _gather_rows_pad(xs.T, perm)
+    def glue_unsort(salt):
         out = jnp.take(feats + salt, dest, axis=0).T
-        return (xyzg, out), salt + 1.0
+        return out, salt + 1.0
 
-    t = timeit(glue_gathers)
-    print(f"gather+unsort:          {t*1e3:8.2f} ms")
+    t = timeit(glue_unsort)
+    print(f"unsort gather:          {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

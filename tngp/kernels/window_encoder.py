@@ -74,12 +74,15 @@ def padded_size(M: int, block: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("block",))
-def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
-    """Counting-sort M samples by spatial tile, tile regions padded to `block`.
+def bin_dest(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
+    """Counting-sort destinations: M samples -> tile-pure blocks.
 
     x01_cf: [3, M] in [0,1].  Returns (dest [M] int32 sorted position of each
-    sample, perm [M_pad] int32 inverse map with sentinel M for padding slots,
-    tob [NB] int32 tile id per block).
+    sample — an injection into [0, M_pad) — and tob [NB] int32 tile id per
+    block).  The hot path never materializes the inverse permutation: sorted
+    arrays are realized by scattering payload rows to `dest` (unique indices,
+    so the deterministic scatter-add IS the sort), and the un-sort is a
+    `dest` gather.
     """
     M = x01_cf.shape[1]
     M_pad = padded_size(M, block)
@@ -110,30 +113,24 @@ def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
     within = jnp.take_along_axis(cum, key[:, None], axis=1)[:, 0] - 1
     dest = jnp.take(starts, key) + within  # [M], unique, < M_pad
 
-    if jax.default_backend() == "tpu":
-        from .scatter import scatter_add
-
-        # realize the inverse permutation with the Pallas scatter (values are
-        # exact in f32: |j - M| < 2^24)
-        delta = (jnp.arange(M, dtype=jnp.float32) - M)[:, None]
-        perm = (M + scatter_add(dest, delta, M_pad)[:, 0]).astype(jnp.int32)
-    else:
-        perm = jnp.full((M_pad,), M, jnp.int32).at[dest].set(
-            jnp.arange(M, dtype=jnp.int32)
-        )
-
     b_start = jnp.arange(NB, dtype=jnp.int32) * block
     tob = jnp.sum(
         (starts[None, :] <= b_start[:, None]).astype(jnp.int32), axis=1
     ) - 1  # [NB], nondecreasing
+    return dest, tob
+
+
+@partial(jax.jit, static_argnames=("block",))
+def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
+    """bin_dest plus the explicit inverse permutation (tests / debugging;
+    perm [M_pad] int32 with sentinel M for padding slots)."""
+    M = x01_cf.shape[1]
+    dest, tob = bin_dest(x01_cf, block=block)
+    M_pad = padded_size(M, block)
+    perm = jnp.full((M_pad,), M, jnp.int32).at[dest].set(
+        jnp.arange(M, dtype=jnp.int32)
+    )
     return dest, perm, tob
-
-
-def _gather_rows_pad(x_rows: jax.Array, perm: jax.Array) -> jax.Array:
-    """[M, C] -> [M_pad, C] reordered by perm (sentinel M -> zeros)."""
-    M = x_rows.shape[0]
-    xp = jnp.concatenate([x_rows, jnp.zeros((1, x_rows.shape[1]), x_rows.dtype)])
-    return jnp.take(xp, jnp.minimum(perm, M), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -366,13 +363,20 @@ def window_encode_binned(
 def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
     M = x01_cf.shape[1]
-    dest, perm, tob = bin_samples(x01_cf, block=block)
-    M_pad = perm.shape[0]
-    xyz = _gather_rows_pad(x01_cf.astype(jnp.float32).T, perm)  # [M_pad, 3]
-    valid = (perm < M).astype(jnp.float32)[:, None]
+    dest, tob = bin_dest(x01_cf, block=block)
+    M_pad = padded_size(M, block)
+    # realize the tile sort by scattering (x, y, z, 1) rows to dest — unique
+    # indices, so the deterministic scatter-add IS the sort; padding slots
+    # stay zero, which doubles as the validity channel
+    from .scatter import scatter_add_auto
+
+    payload = jnp.concatenate(
+        [x01_cf.astype(jnp.float32), jnp.ones((1, M), jnp.float32)], axis=0
+    ).T  # [M, 4]
+    xyz4 = scatter_add_auto(dest, payload, M_pad)  # [M_pad, 4]
     xyz8 = jnp.concatenate(
-        [xyz, valid, jnp.zeros((M_pad, 4), jnp.float32)], axis=1
-    ).T  # [8, M_pad] channels-first (samples on lanes)
+        [xyz4.T, jnp.zeros((4, M_pad), jnp.float32)], axis=0
+    )  # [8, M_pad] channels-first (samples on lanes)
     # per-(block, level) window ids, prefetched: the kernels DMA level slices
     # straight out of the window-layout parameter
     wob = _wob_local(spec, tob)  # [NB, L]
@@ -382,13 +386,17 @@ def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret):
         interpret=interpret,
     )  # [LC, M_pad]
     feats = jnp.take(feats_sorted.T, dest, axis=0).T  # [LC, M] unsort
-    return feats, (xyz8, perm, wob, M)
+    return feats, (xyz8, dest, wob, M)
 
 
 def _binned_bwd(spec, block, mxu_f32, interpret, res, g):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
-    xyz8, perm, wob, M = res
-    g_sorted = _gather_rows_pad(g.astype(jnp.float32).T, perm).T  # [LC, M_pad]
+    from .scatter import scatter_add_auto
+
+    xyz8, dest, wob, M = res
+    M_pad = xyz8.shape[1]
+    # sort the cotangents the same way the inputs were sorted
+    g_sorted = scatter_add_auto(dest, g.astype(jnp.float32).T, M_pad).T
     gtab_win = _bwd_pallas(
         spec, xyz8, wob, g_sorted, block=block, mxu_dtype=mxu_dtype,
         interpret=interpret,
