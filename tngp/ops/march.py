@@ -466,6 +466,17 @@ def build_dilated_cell_grid(
     return (g > 0.5).reshape(-1)
 
 
+def chunk_dilate(G: int, max_steps: int, grid_size: int, bound: float) -> int:
+    """Dilation radius (cells) used by march_rays_chunked for chunk size G.
+
+    Callers that precompute the dilated grid (e.g. the eval residual-round
+    loop, which marches many times per frame) must build it with exactly this
+    radius so the conservative chunk test holds."""
+    dt_min = 2.0 * SQRT3 / max_steps
+    cell = 2.0 * bound / grid_size
+    return max(1, int(math.ceil(0.5 * (G - 1) * dt_min / cell)))
+
+
 class ChunkedMarch(NamedTuple):
     """Result of march_rays_chunked: compaction outputs, no [N, S] arrays."""
 
@@ -502,6 +513,7 @@ def march_rays_chunked(
     G: int = 8,
     chunk_budget: int | None = None,
     noise: jax.Array | None = None,
+    dilated_grid: jax.Array | None = None,
 ) -> ChunkedMarch:
     """Two-level march + compaction in one pass: probe G-rung chunk midpoints
     against the dilated full-resolution grid, then fine-probe ONLY candidate
@@ -527,7 +539,7 @@ def march_rays_chunked(
     cell = 2.0 * bound / grid_size
     # dilation sized for the uniform-dt_min regime; chunks with a larger
     # t-span (geometric/dt_max phases) fall back to live=True
-    dilate = max(1, int(math.ceil(0.5 * (G - 1) * dt_min / cell)))
+    dilate = chunk_dilate(G, max_steps, grid_size, bound)
 
     o = rays_o.astype(jnp.float32)
     d = rays_d.astype(jnp.float32)
@@ -537,10 +549,16 @@ def march_rays_chunked(
         t0 = t0 + dt0 * noise.astype(jnp.float32)
     fars = fars.astype(jnp.float32)
 
-    grid = build_dilated_cell_grid(
-        bitfield, bound=bound, cascades=cascades, grid_size=grid_size,
-        dilate=dilate,
-    )
+    if dilated_grid is None:
+        grid = build_dilated_cell_grid(
+            bitfield, bound=bound, cascades=cascades, grid_size=grid_size,
+            dilate=dilate,
+        )
+    else:
+        # precomputed by the caller (must use chunk_dilate's radius) — the
+        # eval residual loop marches many times against one bitfield and
+        # must not pay the 3-pool dilated build per round
+        grid = dilated_grid
 
     # ---- coarse stage: one dilated-grid probe per chunk midpoint ----------
     jg = jnp.arange(NCr, dtype=jnp.int32) * G

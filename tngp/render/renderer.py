@@ -329,7 +329,9 @@ def render_rays_train(
     return results
 
 
-def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg):
+def _eval_stream_pass(
+    field, params, rays_o, rays_d, nears, fars, bitfield, cfg, dgrid=None
+):
     """First eval pass: dense march once, field-query the first M valid
     samples globally (ray-major), stream-composite.  Rays whose samples were
     dropped by the global budget resume at their first un-queried rung —
@@ -353,7 +355,7 @@ def _eval_stream_pass(field, params, rays_o, rays_d, nears, fars, bitfield, cfg)
             rays_o, rays_d, nears, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
-            M_budget=M, G=cfg.march_chunk,
+            M_budget=M, G=cfg.march_chunk, dilated_grid=dgrid,
         )
         sel, sel_valid, t0, rays_t = cm.sel, cm.sel_valid, cm.t0, cm.resume_t
     else:
@@ -463,8 +465,23 @@ def render_rays_eval(
         )
 
     if cfg.eval_stream:
+        # chunked path: build the dilated coarse grid ONCE and share it with
+        # the first pass and every residual round (it only depends on the
+        # bitfield — rebuilding it per round was most of the round cost)
+        dgrid = None
+        use_chunk = cfg.march_chunk > 0 and cfg.max_steps % cfg.march_chunk == 0
+        if use_chunk:
+            from ..ops.march import build_dilated_cell_grid, chunk_dilate
+
+            dgrid = build_dilated_cell_grid(
+                bitfield, bound=cfg.bound, cascades=cfg.cascades,
+                grid_size=cfg.grid_size,
+                dilate=chunk_dilate(
+                    cfg.march_chunk, cfg.max_steps, cfg.grid_size, cfg.bound
+                ),
+            )
         t0, ws0, depth0, image0 = _eval_stream_pass(
-            field, params, rays_o, rays_d, nears, fars, bitfield, cfg
+            field, params, rays_o, rays_d, nears, fars, bitfield, cfg, dgrid
         )
         state0 = (jnp.zeros((), jnp.int32), t0, ws0, depth0, image0)
         # residual rounds over ALIVE-COMPACTED rays: a handful of long-tail
@@ -478,12 +495,12 @@ def render_rays_eval(
             alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
             return (rnd < max_res_rounds) & jnp.any(alive)
 
-        def res_body(state):
-            rnd, rays_t, ws, depth, image = state
+        def _first_alive(rays_t, ws):
+            """First Na alive rays (binary search over the monotone rank).
+            Returns (sel [Na] int32, slot_ok [Na] bool)."""
             alive = (rays_t < fars) & (1.0 - ws >= cfg.T_thresh)
             arank = jnp.cumsum(alive.astype(jnp.int32))
             n_alive = arank[-1]
-            # first Na alive rays (binary search over the monotone rank)
             want = jnp.arange(1, Na + 1, dtype=jnp.int32)
             lo = jnp.zeros((Na,), jnp.int32)
             hi = jnp.full((Na,), N, jnp.int32)
@@ -493,8 +510,11 @@ def render_rays_eval(
                 go_right = r < want
                 lo = jnp.where(go_right, mid + 1, lo)
                 hi = jnp.where(go_right, hi, mid)
-            sel = jnp.minimum(lo, N - 1)  # [Na]
-            slot_ok = want <= n_alive
+            return jnp.minimum(lo, N - 1), want <= n_alive
+
+        def res_body_slab(state):
+            rnd, rays_t, ws, depth, image = state
+            sel, slot_ok = _first_alive(rays_t, ws)
             o_a = jnp.take(rays_o, sel, axis=0)
             d_a = jnp.take(rays_d, sel, axis=0)
             t_a = jnp.take(rays_t, sel)
@@ -511,6 +531,56 @@ def render_rays_eval(
             image = image.at[sel].add(dimg * okf[:, None])
             return rnd + 1, rays_t, ws, depth, image
 
+        def res_body_stream(state):
+            """Chunked-stream residual round: march only the alive subset
+            from its resume t, field-query exactly the selected samples, and
+            stream-composite — no [Na, K] slab, no field work on masked
+            slots, no per-round dilated-grid rebuild."""
+            from ..ops.march import ladder_samples, march_rays_chunked
+
+            rnd, rays_t, ws, depth, image = state
+            sel, slot_ok = _first_alive(rays_t, ws)
+            o_a = jnp.take(rays_o, sel, axis=0)
+            d_a = jnp.take(rays_d, sel, axis=0)
+            t_a = jnp.take(rays_t, sel)
+            f_a = jnp.take(fars, sel)
+            # dead fill slots march an empty interval (t_start >= far)
+            t_a = jnp.where(slot_ok, t_a, f_a)
+            ws_a = jnp.take(ws, sel)
+            M_res = max(128, -(-Na * K // 128) * 128)
+            cm = march_rays_chunked(
+                o_a, d_a, t_a, f_a, bitfield,
+                bound=cfg.bound, cascades=cfg.cascades,
+                grid_size=cfg.grid_size, dt_gamma=cfg.dt_gamma,
+                max_steps=cfg.max_steps, M_budget=M_res, G=cfg.march_chunk,
+                dilated_grid=dgrid,
+            )
+            ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+                cm.sel, o_a, d_a, cm.t0,
+                bound=cfg.bound, cascades=cfg.cascades,
+                grid_size=cfg.grid_size, dt_gamma=cfg.dt_gamma,
+                max_steps=cfg.max_steps,
+            )
+            out = field.sigma_rgb(params, x_c, d_c)
+            sig_c, rgb_c = out[0], out[1]
+            ws_c, dep_c, img_c = composite_stream(
+                sig_c.astype(jnp.float32) * cfg.density_scale,
+                rgb_c, dt_c, None, ray_id, cm.sel_valid, Na, cfg.T_thresh,
+                t_cum=t_rel,
+            )
+            # continue from accumulated transmittance: the round's local
+            # weights scale by T_in (kernel_composite_rays,
+            # raymarching.cu:884); depth absolutizes the round-relative
+            # t_cum by the round's start t
+            okf = slot_ok.astype(jnp.float32)
+            T_in = jnp.maximum(1.0 - ws_a, 0.0) * okf
+            rays_t = rays_t.at[sel].add((cm.resume_t - t_a) * okf)
+            ws = ws.at[sel].add(T_in * ws_c)
+            depth = depth.at[sel].add(T_in * (dep_c + t_a * ws_c))
+            image = image.at[sel].add(T_in[:, None] * img_c)
+            return rnd + 1, rays_t, ws, depth, image
+
+        res_body = res_body_stream if use_chunk else res_body_slab
         _, _, ws, depth, image = jax.lax.while_loop(res_cond, res_body, state0)
     else:
         # reference-style full-width round loop
