@@ -31,6 +31,7 @@ from tngp.render import (  # noqa: E402
     FieldFns,
     RenderConfig,
     create,
+    dilated_chunk_grid,
     mark_untrained_grid,
     render_rays_train,
     update_density_grid,
@@ -100,21 +101,59 @@ def main():
     tx = optax.adam(1e-2, b1=0.9, b2=0.99, eps=1e-15)
     opt_state = tx.init(params)
 
-    def loss_fn(p, k, bitfield):
-        k1, k2, k3 = jax.random.split(k, 3)
-        idx = jax.random.randint(k1, (), 0, nF)
-        r = sample_rays(k2, poses[idx], intr, H, W, N_RAYS)
-        gt = images[idx].reshape(-1, 3)[r["inds"]]
-        out = render_rays_train(field, p, r["rays_o"], r["rays_d"], bitfield, cfg, key=k3)
-        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
-        rm = out["ray_mask"].astype(jnp.float32)
-        return (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
+    # adaptive sample-budget tiers — the reference's running mean_count
+    # allocation (raymarching.py:200-232): demand (valid samples/step) is read
+    # once per grid-update interval and the budget drops to the smallest
+    # precompiled tier with >=1.6x headroom, rising again the moment rays get
+    # budget-dropped.  Steady state on this scene sits well below the
+    # configured max (the grid sparsifies as training converges).
+    import dataclasses
 
-    @jax.jit
-    def train_step(p, o, k, bitfield):
-        l, g = jax.value_and_grad(loss_fn)(p, k, bitfield)
-        upd, o2 = tx.update(g, o, p)
-        return optax.apply_updates(p, upd), o2, l
+    TIER_FRACS = (cfg.compact_fraction / 4, cfg.compact_fraction / 2,
+                  cfg.compact_fraction)
+    TIER_M = [max(128, -(-int(N_RAYS * cfg.K * f) // 128) * 128) for f in TIER_FRACS]
+    step_fns = {}
+
+    def get_step(t):
+        if t not in step_fns:
+            cfg_t = dataclasses.replace(cfg, compact_fraction=TIER_FRACS[t])
+
+            def loss_fn(p, k, bitfield, dgrid):
+                k1, k2, k3 = jax.random.split(k, 3)
+                idx = jax.random.randint(k1, (), 0, nF)
+                r = sample_rays(k2, poses[idx], intr, H, W, N_RAYS)
+                gt = images[idx].reshape(-1, 3)[r["inds"]]
+                out = render_rays_train(
+                    field, p, r["rays_o"], r["rays_d"], bitfield, cfg_t, key=k3,
+                    dilated_grid=dgrid,
+                )
+                per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
+                rm = out["ray_mask"].astype(jnp.float32)
+                loss = (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
+                return loss, (out["num_points"], rm.sum())
+
+            @jax.jit
+            def train_step(p, o, k, bitfield, dgrid):
+                (l, (npts, kept)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, k, bitfield, dgrid
+                )
+                upd, o2 = tx.update(g, o, p)
+                return optax.apply_updates(p, upd), o2, l, npts, kept
+
+            step_fns[t] = train_step
+        return step_fns[t]
+
+    tier = len(TIER_FRACS) - 1  # start at the configured max
+
+    def adapt_tier(t, npts, kept):
+        demand, kf = float(npts), float(kept) / N_RAYS
+        if kf < 0.98 and t < len(TIER_FRACS) - 1:
+            return t + 1
+        if t > 0 and demand * 1.6 < TIER_M[t - 1]:
+            return t - 1
+        return t
+
+    dgrid_fn = jax.jit(lambda bf: dilated_chunk_grid(bf, cfg))
 
     def grid_update(g, p, k, full):
         return update_density_grid(
@@ -124,34 +163,53 @@ def main():
 
     log(f"grid marked {time.time()-t_start:.1f}s")
 
-    # warmup: compile everything + densify grid so the workload is realistic
+    # warmup: compile everything + densify grid so the workload is realistic;
+    # the budget tier settles to the scene's steady-state demand here
     k = jax.random.PRNGKey(1)
-    for step in range(48):
+    npts = kept = None
+    dgrid = dgrid_fn(grid.bitfield)
+    for step in range(64):
         if step % 16 == 0:
+            if npts is not None:
+                t_new = adapt_tier(tier, npts, kept)
+                if t_new != tier:
+                    tier = t_new
+                    log(f"tier -> M={TIER_M[tier]} at warmup step {step}")
             k, kk = jax.random.split(k)
             grid = grid_update(grid, params, kk, full=(step < 32))
+            dgrid = dgrid_fn(grid.bitfield)
             jax.block_until_ready(grid.bitfield)
             if step == 0:
                 log(f"grid update compiled {time.time()-t_start:.1f}s")
         k, kk = jax.random.split(k)
-        params, opt_state, loss = train_step(params, opt_state, kk, grid.bitfield)
+        params, opt_state, loss, npts, kept = get_step(tier)(
+            params, opt_state, kk, grid.bitfield, dgrid
+        )
         if step == 0:
             jax.block_until_ready(loss)
             log(f"train step compiled {time.time()-t_start:.1f}s")
     jax.block_until_ready(loss)
-    log(f"warmup done {time.time()-t_start:.1f}s")
+    log(f"warmup done {time.time()-t_start:.1f}s (tier M={TIER_M[tier]})")
 
-    # timed: 100 steps + periodic partial grid updates (the steady-state loop)
+    # timed: 100 steps + periodic partial grid updates + the once-per-16-steps
+    # demand read (the true steady-state loop, adaptation cost included)
     t0 = time.time()
     n_timed = 100
     for step in range(n_timed):
         if step % 16 == 0:
+            t_new = adapt_tier(tier, npts, kept)
+            if t_new != tier and t_new in step_fns:  # never compile in the
+                tier = t_new  # timed section — a fresh tier waits for next round
             k, kk = jax.random.split(k)
             grid = grid_update(grid, params, kk, full=False)
+            dgrid = dgrid_fn(grid.bitfield)
         k, kk = jax.random.split(k)
-        params, opt_state, loss = train_step(params, opt_state, kk, grid.bitfield)
+        params, opt_state, loss, npts, kept = get_step(tier)(
+            params, opt_state, kk, grid.bitfield, dgrid
+        )
     jax.block_until_ready(loss)
     dt = time.time() - t0
+    log(f"timed done: tier M={TIER_M[tier]}")
 
     # end-to-end sanity: render one eval view against GT (also exercises the
     # iterative eval path on-chip); reported as a comment, not the metric
@@ -161,11 +219,13 @@ def main():
 
         o, d_ = full_image_rays(poses[0], intr, H, W)
         eval_fn = jax.jit(
-            lambda p, o, d, bf: render_rays_eval(field, p, o, d, bf, cfg)["image"]
+            lambda p, o, d, bf, dg: render_rays_eval(
+                field, p, o, d, bf, cfg, dilated_grid=dg
+            )["image"]
         )
         pieces = []
         for s in range(0, o.shape[0], 4096):
-            pieces.append(np.asarray(eval_fn(params, o[s:s+4096], d_[s:s+4096], grid.bitfield)))
+            pieces.append(np.asarray(eval_fn(params, o[s:s+4096], d_[s:s+4096], grid.bitfield, dgrid)))
         img = np.concatenate(pieces).reshape(H, W, 3)
         mse = float(np.mean((img - np.asarray(images[0])) ** 2))
         log(f"eval view PSNR after warmup+{n_timed} steps: {-10*np.log10(max(mse,1e-12)):.2f} dB")
@@ -175,7 +235,7 @@ def main():
         o2, d2 = full_image_rays(poses[1], intr, H, W)
         te0 = time.time()
         for s in range(0, o2.shape[0], 4096):
-            out = eval_fn(params, o2[s:s+4096], d2[s:s+4096], grid.bitfield)
+            out = eval_fn(params, o2[s:s+4096], d2[s:s+4096], grid.bitfield, dgrid)
         jax.block_until_ready(out)
         eval_rays_s = o2.shape[0] / (time.time() - te0)
         log(f"eval throughput: {eval_rays_s:,.0f} rays/s "

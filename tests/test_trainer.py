@@ -77,3 +77,37 @@ def test_trainer_uniform_path(tmp_path):
     assert np.isfinite(l1) and l1 < l0
     img, dep = tr.render_image(ds.poses[0], use_ema=False)
     assert np.isfinite(img).all()
+
+
+def test_trainer_adaptive_budget(tmp_path):
+    """Budget-tier ladder (reference mean_count semantics): the trainer
+    switches to smaller precompiled budgets when demand leaves headroom and
+    climbs back when rays get dropped; each tier's step stays usable."""
+    ds = make_synthetic_dataset(n_frames=4, H=32, W=32, seed=3, num_steps=64)
+    model = NGPNetwork(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=64, K=32,
+                       min_near=0.05, march_dense=True, compact_fraction=0.5,
+                       density_thresh=0.5)
+    tc = TrainConfig(name="ab", workspace=str(tmp_path), iters=100,
+                     num_rays=256, steps_per_epoch=18,
+                     use_checkpoint="scratch", adaptive_budget=True)
+    tr = Trainer(model, ds, cfg, tc)
+    assert tr._tier_fracs is not None and tr._tier == 2
+    assert tr._tier_M == sorted(tr._tier_M)
+
+    # mechanics: drop to the smallest tier, then climb on ray drops
+    tr._adapt_tier(demand=10.0, kept_frac=1.0)
+    assert tr._tier == 1
+    tr._adapt_tier(demand=10.0, kept_frac=1.0)
+    assert tr._tier == 0
+    tr._adapt_tier(demand=10.0, kept_frac=0.5)
+    assert tr._tier == 1
+    # the switched-to step function trains without error and loss is finite
+    l0 = tr.train_one_epoch(18)
+    assert np.isfinite(l0)
+
+    # subclass trainers / non-dense configs never build the ladder
+    cfg2 = RenderConfig(bound=1.0, grid_size=16, max_steps=64, K=32,
+                        min_near=0.05)
+    tr2 = Trainer(model, ds, cfg2, tc)
+    assert tr2._tier_fracs is None

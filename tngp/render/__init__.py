@@ -11,6 +11,7 @@ from .occupancy import (
 from .renderer import (
     FieldFns,
     RenderConfig,
+    dilated_chunk_grid,
     render_rays_eval,
     render_rays_train,
     render_rays_uniform,
@@ -27,6 +28,7 @@ __all__ = [
     "update_density_grid",
     "FieldFns",
     "RenderConfig",
+    "dilated_chunk_grid",
     "render_rays_eval",
     "render_rays_train",
     "render_rays_uniform",

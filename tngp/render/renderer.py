@@ -127,6 +127,25 @@ class FieldFns(NamedTuple):
         )
 
 
+def dilated_chunk_grid(bitfield: jax.Array, cfg: RenderConfig):
+    """Precompute the chunked-march dilated occupancy grid for `cfg`.
+
+    Returns None when the chunked path is off.  Trainers call this whenever
+    the bitfield changes (every update_extra_interval steps) and pass the
+    result to render_rays_train/eval via `dilated_grid` so the 3-pool dilated
+    build leaves the per-step program."""
+    if not (cfg.march_chunk > 0 and cfg.max_steps % cfg.march_chunk == 0):
+        return None
+    from ..ops.march import build_dilated_cell_grid, chunk_dilate
+
+    return build_dilated_cell_grid(
+        bitfield, bound=cfg.bound, cascades=cfg.cascades,
+        grid_size=cfg.grid_size,
+        dilate=chunk_dilate(cfg.march_chunk, cfg.max_steps, cfg.grid_size,
+                            cfg.bound),
+    )
+
+
 def _resolve_bg(field: FieldFns, params, rays_o, rays_d, cfg: RenderConfig, bg_color):
     if cfg.bg_radius > 0 and field.background is not None:
         sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
@@ -146,6 +165,10 @@ def render_rays_train(
     cfg: RenderConfig,
     key: jax.Array | None = None,  # None -> no perturb
     bg_color=None,  # None -> 1.0, or [N, 3] / [3]
+    dilated_grid=None,  # precomputed build_dilated_cell_grid(bitfield) — the
+    # bitfield only changes every update_extra_interval steps, so trainers
+    # hoist the 3-pool dilated build out of the per-step program (see
+    # Trainer.maybe_update_grid); None rebuilds it inline (same numerics)
 ):
     """Single-march budgeted training render. Returns dict(image, depth,
     weights_sum, num_points)."""
@@ -181,6 +204,7 @@ def render_rays_train(
                 bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
                 dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
                 M_budget=M_budget, G=cfg.march_chunk, noise=noise,
+                dilated_grid=dilated_grid,
             )
             sel, sel_valid, t0 = cm.sel, cm.sel_valid, cm.t0
             ray_mask, num_points = cm.ray_mask, cm.num_points
@@ -417,6 +441,8 @@ def render_rays_eval(
     bitfield: jax.Array,
     cfg: RenderConfig,
     bg_color=None,
+    dilated_grid=None,  # optional precomputed dilated chunk grid (see
+    # render_rays_train) — callers rendering many chunks of one frame hoist it
 ):
     """Full-quality render: single-pass stream eval (cfg.eval_stream) with an
     alive-ray round loop as residual / fallback (statically shaped)."""
@@ -468,9 +494,9 @@ def render_rays_eval(
         # chunked path: build the dilated coarse grid ONCE and share it with
         # the first pass and every residual round (it only depends on the
         # bitfield — rebuilding it per round was most of the round cost)
-        dgrid = None
+        dgrid = dilated_grid
         use_chunk = cfg.march_chunk > 0 and cfg.max_steps % cfg.march_chunk == 0
-        if use_chunk:
+        if use_chunk and dgrid is None:
             from ..ops.march import build_dilated_cell_grid, chunk_dilate
 
             dgrid = build_dilated_cell_grid(

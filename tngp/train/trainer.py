@@ -34,6 +34,7 @@ from ..render import (
     OccupancyGrid,
     RenderConfig,
     create as create_grid,
+    dilated_chunk_grid,
     mark_untrained_grid,
     render_rays_eval,
     render_rays_train,
@@ -133,7 +134,40 @@ class Trainer:
         except Exception:
             pass
 
+        # the base NGP step threads a precomputed dilated chunk grid through
+        # render_rays_train (rebuilt only when the bitfield changes); subclass
+        # steps keep the 6-arg signature
+        self._step_has_dgrid = (
+            type(self)._build_train_step is Trainer._build_train_step
+        )
+        self._dgrid_fn = jax.jit(lambda bf: dilated_chunk_grid(bf, self.cfg))
+        self._dgrid = (
+            self._dgrid_fn(self.grid.bitfield)
+            if self._step_has_dgrid and self.use_grid and cfg.march_dense
+            else None
+        )
         self._train_step = self._build_train_step()
+
+        # adaptive sample-budget tiers (reference mean_count semantics,
+        # raymarching.py:200-232): a short ladder of compact_fractions below
+        # the configured one; each tier's step compiles once (persistent
+        # cache) and the trainer switches on measured demand at grid-update
+        # boundaries.  Only the base NGP grid path supports this (subclasses
+        # build their own steps).
+        self._tier_fracs = None
+        if (
+            tc.adaptive_budget and self.use_grid and cfg.march_dense
+            and type(self)._build_train_step is Trainer._build_train_step
+            and 0.0 < cfg.compact_fraction < 1.0
+        ):
+            f = cfg.compact_fraction
+            self._tier_fracs = [f / 4.0, f / 2.0, f]
+            self._tier_steps = {len(self._tier_fracs) - 1: self._train_step}
+            self._tier = len(self._tier_fracs) - 1  # start at the configured max
+            self._tier_M = [
+                max(128, -(-int(tc.num_rays * cfg.K * tf) // 128) * 128)
+                for tf in self._tier_fracs
+            ]
 
         # CLIP-guided GT-free step (every rand_pose-th iteration,
         # nerf/utils.py:431-434,485-499)
@@ -163,8 +197,8 @@ class Trainer:
             f.write(msg + "\n")
 
     # --------------------------------------------------------------- train step
-    def _build_train_step(self):
-        field, cfg, tc = self.field, self.cfg, self.tc
+    def _build_train_step(self, cfg=None):
+        field, cfg, tc = self.field, cfg or self.cfg, self.tc
         H, W, C = self.H, self.W, self.channels
         n_frames = self.n_frames
         images, poses, intr = self.images, self.poses, self.intrinsics
@@ -177,7 +211,8 @@ class Trainer:
         ema_decay = self.tc.ema_decay
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 4))
-        def step(params, opt_state, ema_params, key, error_map, bitfield):
+        def step(params, opt_state, ema_params, key, error_map, bitfield,
+                 dgrid=None):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (), 0, n_frames)
             em = error_map[idx] if use_error_map else None
@@ -206,7 +241,7 @@ class Trainer:
                 if use_grid:
                     out = render_rays_train(
                         field, p, r["rays_o"], r["rays_d"], bitfield, cfg,
-                        key=k_perturb, bg_color=bg,
+                        key=k_perturb, bg_color=bg, dilated_grid=dgrid,
                     )
                     rm = out["ray_mask"].astype(jnp.float32)
                     npts = out["num_points"]
@@ -245,7 +280,9 @@ class Trainer:
                 em_row = em_row.at[r["inds_coarse"]].set(new_vals)
                 error_map = error_map.at[idx].set(em_row)
 
-            return params, opt_state, ema_params, error_map, loss, npts
+            # n_kept = rays that kept all their samples under the budget —
+            # the demand signal for adaptive budget tiers
+            return params, opt_state, ema_params, error_map, loss, npts, rm_out.sum()
 
         return step
 
@@ -292,6 +329,34 @@ class Trainer:
         )
         return float(loss)
 
+    def _adapt_tier(self, demand: float, kept_frac: float):
+        """Move the budget tier: up as soon as rays get dropped, down when
+        demand leaves >1.6x headroom below the next tier (hysteresis keeps
+        the ladder from oscillating).  Each tier's step compiles once."""
+        t = self._tier
+        nt = len(self._tier_fracs)
+        if kept_frac < 0.98 and t < nt - 1:
+            t += 1
+        elif t > 0 and demand * 1.6 < self._tier_M[t - 1]:
+            t -= 1
+        if t == self._tier:
+            return
+        self._tier = t
+        step = self._tier_steps.get(t)
+        if step is None:
+            import dataclasses
+
+            cfg_t = dataclasses.replace(
+                self.cfg, compact_fraction=self._tier_fracs[t]
+            )
+            step = self._build_train_step(cfg_t)
+            self._tier_steps[t] = step
+        self._train_step = step
+        self.log(
+            f"[adaptive_budget] step {self.global_step}: tier -> "
+            f"M={self._tier_M[t]} (demand {int(demand)}, kept {kept_frac:.3f})"
+        )
+
     def maybe_update_grid(self):
         tc, cfg = self.tc, self.cfg
         if not self.use_grid:
@@ -306,6 +371,8 @@ class Trainer:
             density_thresh=cfg.density_thresh,
             full=full, density_scale=cfg.density_scale,
         )
+        if self._dgrid is not None:
+            self._dgrid = self._dgrid_fn(self.grid.bitfield)
 
     def train_one_epoch(self, steps: int):
         # first epoch optionally runs under a jax.profiler trace (§5.1)
@@ -321,7 +388,18 @@ class Trainer:
     def _train_one_epoch(self, steps: int):
         t0 = time.time()
         losses, pts = [], []
+        last_npts = last_kept = None
         for _ in range(steps):
+            if (
+                self._tier_fracs is not None
+                and last_npts is not None
+                and self.global_step % self.tc.update_extra_interval == 0
+            ):
+                # one host sync per grid-update interval (a per-step float()
+                # would serialize dispatch; see the trainer-loop lesson)
+                self._adapt_tier(
+                    float(last_npts), float(last_kept) / self.tc.num_rays
+                )
             self.maybe_update_grid()
             if (
                 self._clip_step is not None
@@ -339,12 +417,16 @@ class Trainer:
             # trainer per step (sdf/utils.py:349-350); we follow the SDF
             # cadence — at our 500-step epochs a per-epoch EMA lags so far
             # behind that eval renders ~30 dB below the train fit
-            (
-                self.params, self.opt_state, self.ema_params, em, loss, npts,
-            ) = self._train_step(
+            args = (
                 self.params, self.opt_state, self.ema_params, k, em,
                 self.grid.bitfield,
             )
+            if self._step_has_dgrid:
+                args += (self._dgrid,)
+            out = self._train_step(*args)
+            (self.params, self.opt_state, self.ema_params, em, loss, npts) = out[:6]
+            if len(out) > 6:  # base NGP step also reports kept-ray count
+                last_npts, last_kept = npts, out[6]
             if self.error_map is not None:
                 self.error_map = em
             self.global_step += 1
@@ -403,9 +485,10 @@ class Trainer:
             use_grid = self.use_grid
 
             @jax.jit
-            def eval_fn(p, o, d, bitfield, bg):
+            def eval_fn(p, o, d, bitfield, bg, dgrid=None):
                 if use_grid:
-                    out = render_rays_eval(field, p, o, d, bitfield, cfg, bg_color=bg)
+                    out = render_rays_eval(field, p, o, d, bitfield, cfg,
+                                           bg_color=bg, dilated_grid=dgrid)
                 else:
                     out = render_rays_uniform(
                         field, p, o, d, cfg, num_steps=cfg.num_steps,
@@ -420,9 +503,15 @@ class Trainer:
         d = jnp.pad(d, ((0, pad), (0, 0)))
         imgs, deps = [], []
         bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
+        # dilated chunk grid shared across the frame's ray chunks (the
+        # bitfield is fixed within one render)
+        dgrid = (
+            self._dgrid_fn(self.grid.bitfield) if self.use_grid else None
+        )
         for s in range(0, n + pad, chunk):
             img, dep = self._eval_fn(
-                params, o[s : s + chunk], d[s : s + chunk], self.grid.bitfield, bg
+                params, o[s : s + chunk], d[s : s + chunk], self.grid.bitfield,
+                bg, dgrid,
             )
             imgs.append(np.asarray(img))
             deps.append(np.asarray(dep))

@@ -38,3 +38,10 @@ class TrainConfig:
     # non-empty: capture a jax.profiler trace of the FIRST epoch into this
     # directory (TensorBoard/Perfetto-viewable; SURVEY §5.1)
     profile_dir: str = ""
+    # adapt the global sample budget to measured demand — the TPU analogue of
+    # the reference's running mean_count allocation (raymarching.py:200-232):
+    # a small ladder of precompiled budget tiers (fractions of the configured
+    # compact_fraction); the trainer moves down when demand leaves headroom
+    # and back up when rays start getting budget-dropped.  Grid-marching NGP
+    # trainer only (march_dense path).
+    adaptive_budget: bool = True
