@@ -197,3 +197,34 @@ def test_eval_stream_matches_round_loop():
     np.testing.assert_allclose(
         np.asarray(out_s["depth"]), np.asarray(out_l["depth"]), rtol=1e-3, atol=1e-3
     )
+
+
+def test_precomputed_dilated_grid_equivalence():
+    """render_rays_train/eval with a precomputed dilated_grid must equal the
+    inline-build path bit-for-bit (same grid content, hoisted build)."""
+    from tngp.render import dilated_chunk_grid
+
+    cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=256, K=64,
+                       min_near=0.05, march_dense=True, compact_fraction=0.25,
+                       march_chunk=8)
+    field = analytic_field()
+    o, d = make_rays(32, seed=9)
+    H = cfg.grid_size
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    occ = ((gx**2 + gy**2 + gz**2) < 0.5**2).astype(np.float32).reshape(-1)
+    bf = packbits(jnp.asarray(occ), 0.5)
+    dg = dilated_chunk_grid(bf, cfg)
+    assert dg is not None
+
+    t_inline = render_rays_train(field, None, o, d, bf, cfg)
+    t_hoist = render_rays_train(field, None, o, d, bf, cfg, dilated_grid=dg)
+    np.testing.assert_array_equal(
+        np.asarray(t_inline["image"]), np.asarray(t_hoist["image"]))
+    np.testing.assert_array_equal(
+        np.asarray(t_inline["ray_mask"]), np.asarray(t_hoist["ray_mask"]))
+
+    e_inline = render_rays_eval(field, None, o, d, bf, cfg)
+    e_hoist = render_rays_eval(field, None, o, d, bf, cfg, dilated_grid=dg)
+    np.testing.assert_array_equal(
+        np.asarray(e_inline["image"]), np.asarray(e_hoist["image"]))
