@@ -106,7 +106,13 @@ def _float_exponent(x: jax.Array) -> jax.Array:
 
 
 def mip_level_from_max(mx: jax.Array, dt: jax.Array, cascades: int, grid_size: int) -> jax.Array:
-    """Cascade selection from max |coord|, raymarching.cu:42-54."""
+    """Cascade selection from max |coord|, raymarching.cu:42-54.
+
+    cascades == 1 (bound <= 1, the common case) short-circuits to constant 0:
+    the exponent bit-twiddles over [N, S]-sized arrays are pure waste there,
+    and the static `cascades` makes the fold safe at trace time."""
+    if cascades == 1:
+        return jnp.zeros(mx.shape, jnp.int32)
     e_pos = jnp.where(mx > 0, _float_exponent(jnp.maximum(mx, 1e-30)), -100)
     mdt = dt * grid_size * 0.5
     e_dt = jnp.where(mdt > 0, _float_exponent(jnp.maximum(mdt, 1e-30)), -100)
