@@ -236,3 +236,34 @@ def test_binned_concentrated_samples():
     got = window_encode_binned(x, window_view(table, spec), spec, 64, True, True)
     want = window_encode_ref(x, table, spec)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_binned_swap_select_parity():
+    """swap_select (lane-contract matmul + 64-row hi select) must reproduce
+    the default kernel orientation exactly — forward and table gradient."""
+    spec = small_spec(num_levels=4)
+    rng = np.random.default_rng(11)
+    M = 200
+    x = jnp.asarray(rng.uniform(0, 1, size=(3, M)).astype(np.float32))
+    table = jnp.asarray(
+        rng.normal(size=(spec.total_rows, spec.level_dim)).astype(np.float32)
+    )
+    base = window_encode_binned(x, window_view(table, spec), spec, 64, True, True)
+    swap = window_encode_binned(
+        x, window_view(table, spec), spec, 64, True, True, True
+    )
+    np.testing.assert_allclose(np.asarray(swap), np.asarray(base), rtol=1e-6,
+                               atol=1e-7)
+
+    gout = jnp.asarray(rng.normal(size=(spec.output_dim, M)).astype(np.float32))
+
+    def loss(t, sw):
+        return jnp.sum(
+            window_encode_binned(x, window_view(t, spec), spec, 64, True, True, sw)
+            * gout
+        )
+
+    g_base = jax.grad(lambda t: loss(t, False))(table)
+    g_swap = jax.grad(lambda t: loss(t, True))(table)
+    np.testing.assert_allclose(np.asarray(g_swap), np.asarray(g_base),
+                               rtol=1e-5, atol=1e-6)

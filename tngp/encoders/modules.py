@@ -72,6 +72,10 @@ class WindowGridEncoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     block: int = 512
     mxu_f32: bool = False  # bf16 matmuls by default on the hot path
+    # contract the one-hot matmuls over lanes (K=128) and reduce over the 64
+    # hi rows instead of the reverse — ~30% less VPU select work per level
+    # (see kernels/window_encoder.py); flag until measured on-device
+    swap_select: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -93,7 +97,8 @@ class WindowGridEncoder(nn.Module):
             from ..kernels.window_encoder import window_encode_binned
 
             return window_encode_binned(
-                x01, self.embeddings, self.spec, self.block, self.mxu_f32, False
+                x01, self.embeddings, self.spec, self.block, self.mxu_f32,
+                False, self.swap_select,
             )
         return window_encode_ref(
             x01, window_unview(self.embeddings, self.spec), self.spec

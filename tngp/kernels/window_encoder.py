@@ -176,7 +176,7 @@ def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int):
     return hi, lo, w
 
 
-def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
+def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
 
@@ -188,16 +188,30 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
         rows = []
         for l in range(L):
             hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
-            At = jnp.where(hrow == hi, w, 0.0).astype(mxu_dtype)  # [64, 8S]
-            selm = srow == lo  # [128, 8S]
+            if swap_select:
+                # contract over LANES on the MXU (K=128, full array depth)
+                # and one-hot-reduce over the 64 hi rows — 33% less VPU
+                # select work than the hi-contract + 128-row reduce below
+                Bt = jnp.where(srow == lo, w, 0.0).astype(mxu_dtype)  # [128, 8S]
+                selh = hrow == hi  # [64, 8S]
+            else:
+                At = jnp.where(hrow == hi, w, 0.0).astype(mxu_dtype)  # [64, 8S]
+                selm = srow == lo  # [128, 8S]
             for c in range(C):
                 win_t = win_refs[l][0, c].astype(mxu_dtype)  # [128, 64]
                 # NOTE: Mosaic requires a 32-bit matmul accumulator
                 # (preferred_element_type=bf16 fails verification on-device
                 # while PASSING in interpret mode — do not retry)
-                g = jnp.dot(win_t, At, preferred_element_type=jnp.float32)
-                # lane-select row lo via sublane one-hot reduce -> [1, 8S]
-                val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
+                if swap_select:
+                    g = jax.lax.dot_general(
+                        win_t, Bt, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [64, 8S]
+                    val = jnp.sum(jnp.where(selh, g, 0.0), axis=0, keepdims=True)
+                else:
+                    g = jnp.dot(win_t, At, preferred_element_type=jnp.float32)
+                    # lane-select row lo via sublane one-hot reduce -> [1, 8S]
+                    val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
                 out_c = val[:, 0:S]
                 for k in range(1, 8):  # static lane slices (512-aligned)
                     out_c = out_c + val[:, k * S : (k + 1) * S]
@@ -207,7 +221,7 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
     return kernel
 
 
-def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
+def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
 
@@ -223,16 +237,28 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype):
             # Pallas revisit-accumulate pattern, per level
             first = (b == 0) | (wob_ref[b, l] != wob_ref[jnp.maximum(b - 1, 0), l])
             hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
-            At = (hrow == hi).astype(mxu_dtype)  # [64, 8S] unweighted onehot
-            selm = srow == lo  # [128, 8S]
+            if swap_select:
+                # unweighted lane one-hot built ONCE per level; the coef
+                # weighting moves to the 64-row hi one-hot per channel
+                Bt = (srow == lo).astype(mxu_dtype)  # [128, 8S]
+            else:
+                At = (hrow == hi).astype(mxu_dtype)  # [64, 8S] unweighted onehot
+                selm = srow == lo  # [128, 8S]
             for c in range(C):
                 gc = g_blk[l * C + c : l * C + c + 1, :]  # [1, S]
                 coef = w * jnp.concatenate([gc] * 8, axis=1)  # [1, 8S]
-                Bt = jnp.where(selm, coef, 0.0).astype(mxu_dtype)  # [128, 8S]
-                gw_t = jax.lax.dot_general(
-                    Bt, At, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [128, 64] = grad window (transposed layout)
+                if swap_select:
+                    Ac = jnp.where(hrow == hi, coef, 0.0).astype(mxu_dtype)  # [64, 8S]
+                    gw_t = jax.lax.dot_general(
+                        Bt, Ac, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [128, 64]
+                else:
+                    Bt = jnp.where(selm, coef, 0.0).astype(mxu_dtype)  # [128, 8S]
+                    gw_t = jax.lax.dot_general(
+                        Bt, At, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [128, 64] = grad window (transposed layout)
 
                 @pl.when(first)
                 def _():
@@ -264,7 +290,8 @@ def _level_views(spec: WindowSpec, table_win: jax.Array):
     return [table_win[offs[l] : offs[l + 1]] for l in range(spec.num_levels)]
 
 
-def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret):
+def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret,
+                swap_select=False):
     L, C = spec.num_levels, spec.level_dim
     M_pad = xyz8.shape[1]
     NB = M_pad // block
@@ -287,7 +314,7 @@ def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret):
         ),
     )
     return pl.pallas_call(
-        _make_fwd_kernel(spec, block, mxu_dtype),
+        _make_fwd_kernel(spec, block, mxu_dtype, swap_select),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L * C, M_pad), jnp.float32),
         interpret=interpret,
@@ -295,7 +322,8 @@ def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret):
     )(wob, xyz8, *wins)
 
 
-def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret):
+def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret,
+                swap_select=False):
     L, C = spec.num_levels, spec.level_dim
     M_pad = xyz8.shape[1]
     NB = M_pad // block
@@ -320,7 +348,7 @@ def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret):
         out_specs=[out_spec(l) for l in range(L)],
     )
     gwins = pl.pallas_call(
-        _make_bwd_kernel(spec, block, mxu_dtype),
+        _make_bwd_kernel(spec, block, mxu_dtype, swap_select),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_wins[l], C, WIN_LANES, WIN_HI), jnp.float32)
@@ -340,7 +368,7 @@ def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret):
     return jnp.concatenate(out, axis=0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def window_encode_binned(
     x01_cf: jax.Array,
     table_win: jax.Array,
@@ -348,6 +376,7 @@ def window_encode_binned(
     block: int = DEFAULT_BLOCK,
     mxu_f32: bool = True,
     interpret: bool = False,
+    swap_select: bool = False,
 ) -> jax.Array:
     """Windowed grid encode via the binned Pallas path.
 
@@ -356,11 +385,14 @@ def window_encode_binned(
     [L*C, M] f32 features (level-major).  Table gradients flow (in window
     layout); input gradients are zero (documented non-goal of this path).
     """
-    out, _ = _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret)
+    out, _ = _binned_fwd(
+        x01_cf, table_win, spec, block, mxu_f32, interpret, swap_select
+    )
     return out
 
 
-def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret):
+def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret,
+                swap_select=False):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
     M = x01_cf.shape[1]
     dest, tob = bin_dest(x01_cf, block=block)
@@ -383,13 +415,13 @@ def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret):
     wins = _level_views(spec, table_win.astype(jnp.float32))
     feats_sorted = _fwd_pallas(
         spec, xyz8, wob, wins, block=block, mxu_dtype=mxu_dtype,
-        interpret=interpret,
+        interpret=interpret, swap_select=swap_select,
     )  # [LC, M_pad]
     feats = jnp.take(feats_sorted.T, dest, axis=0).T  # [LC, M] unsort
     return feats, (xyz8, dest, wob, M)
 
 
-def _binned_bwd(spec, block, mxu_f32, interpret, res, g):
+def _binned_bwd(spec, block, mxu_f32, interpret, swap_select, res, g):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
     from .scatter import scatter_add_auto
 
@@ -399,7 +431,7 @@ def _binned_bwd(spec, block, mxu_f32, interpret, res, g):
     g_sorted = scatter_add_auto(dest, g.astype(jnp.float32).T, M_pad).T
     gtab_win = _bwd_pallas(
         spec, xyz8, wob, g_sorted, block=block, mxu_dtype=mxu_dtype,
-        interpret=interpret,
+        interpret=interpret, swap_select=swap_select,
     )  # [NW, C, 128, 64]
     gx = jnp.zeros((3, M), jnp.float32)
     return gx, gtab_win
