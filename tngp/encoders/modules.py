@@ -180,7 +180,13 @@ def get_encoder(
             align_corners=align_corners,
             interpolation=interpolation,
         )
-        enc = WindowGridEncoder(spec=wspec)
+        import os
+
+        enc = WindowGridEncoder(
+            spec=wspec,
+            # kernel-orientation A/B knob (see WindowGridEncoder.swap_select)
+            swap_select=os.environ.get("TNGP_WIN_SWAP", "0") == "1",
+        )
         return enc, wspec.output_dim
     if encoding in ("hashgrid", "tiledgrid"):
         spec = HashGridSpec.create(
