@@ -95,7 +95,7 @@ class SDFTrainer:
 
     def train_one_epoch(self):
         t0 = time.time()
-        total = 0.0
+        losses = []
         for _ in range(self.dataset.size):
             pts, sdfs = self.dataset.sample(self.global_step)
             self.params, self.opt_state, self.ema_params, loss = self._step(
@@ -103,8 +103,9 @@ class SDFTrainer:
                 jnp.asarray(pts.T), jnp.asarray(sdfs[:, 0]),
             )
             self.global_step += 1
-            total += float(loss)
-        avg = total / self.dataset.size
+            # on-device accumulation: a float() per step serializes dispatch
+            losses.append(loss)
+        avg = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         self.stats["loss"].append(avg)
         self.log(
             f"[sdf epoch {self.epoch}] loss={avg:.6f} "

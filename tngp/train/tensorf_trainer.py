@@ -172,7 +172,7 @@ class TensoRFTrainer(Trainer):
         import time
 
         t0 = time.time()
-        total_loss, total_pts = 0.0, 0
+        losses, pts = [], []
         for _ in range(steps):
             self.maybe_upsample()
             self.maybe_update_grid()
@@ -185,8 +185,12 @@ class TensoRFTrainer(Trainer):
                 self.grid.bitfield,
             )
             self.global_step += 1
-            total_loss += float(loss)
-            total_pts += int(npts)
+            # on-device accumulation: a float() per step serializes dispatch
+            # (measured 3.4 -> 11.7 it/s on the NGP path; see CLAUDE.md)
+            losses.append(loss)
+            pts.append(npts)
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        total_pts = int(jnp.sum(jnp.stack(pts))) if pts else 0
         dt = time.time() - t0
         avg = total_loss / steps
         self.stats["loss"].append(avg)
