@@ -27,6 +27,7 @@ from .trainer import Trainer
 
 
 class CCTrainer(Trainer):
+    _wants_dgrid = False  # residual-K training marches the [N, K] slab path
     def __init__(
         self,
         cc_cfg: CCConfig,

@@ -35,6 +35,7 @@ from .trainer import Trainer
 
 
 class DNeRFTrainer(Trainer):
+    _wants_dgrid = False  # bitfield is selected per sampled time INSIDE the step
     def __init__(
         self,
         model: DNeRFNetwork,

@@ -69,7 +69,7 @@ class TensoRFTrainer(Trainer):
         ema_decay = tc.ema_decay
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def step(params, opt_state, ema_params, key, _em, bitfield):
+        def step(params, opt_state, ema_params, key, _em, bitfield, dgrid=None):
             k_idx, k_rays, k_perturb, k_bg = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (), 0, n_frames)
             r = sample_rays(k_rays, poses[idx], intr, H, W, tc.num_rays)
@@ -84,7 +84,7 @@ class TensoRFTrainer(Trainer):
             def loss_fn(p):
                 out = render_rays_train(
                     field, p, r["rays_o"], r["rays_d"], bitfield, cfg,
-                    key=k_perturb, bg_color=bg,
+                    key=k_perturb, bg_color=bg, dilated_grid=dgrid,
                 )
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
                 rm = out["ray_mask"].astype(jnp.float32)
@@ -182,7 +182,7 @@ class TensoRFTrainer(Trainer):
                 self.params, self.opt_state, self.ema_params, _, loss, npts,
             ) = self._train_step(
                 self.params, self.opt_state, self.ema_params, k, em,
-                self.grid.bitfield,
+                self.grid.bitfield, self._dgrid,
             )
             self.global_step += 1
             # on-device accumulation: a float() per step serializes dispatch

@@ -62,6 +62,11 @@ def make_optimizer(tc: TrainConfig):
 class Trainer:
     """Occupancy-grid NeRF trainer over a functional field."""
 
+    # subclasses whose march path cannot use a precomputed dilated chunk grid
+    # (D-NeRF: time-indexed bitfield selected inside the step; CCNeRF: slab
+    # march) set this False
+    _wants_dgrid = True
+
     def __init__(
         self,
         model,
@@ -143,7 +148,7 @@ class Trainer:
         self._dgrid_fn = jax.jit(lambda bf: dilated_chunk_grid(bf, self.cfg))
         self._dgrid = (
             self._dgrid_fn(self.grid.bitfield)
-            if self._step_has_dgrid and self.use_grid and cfg.march_dense
+            if self._wants_dgrid and self.use_grid and cfg.march_dense
             else None
         )
         self._train_step = self._build_train_step()
