@@ -58,6 +58,9 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="rungs per two-level march chunk on the dense path "
                         "(0 = flat probe-every-rung; ops/march.py "
                         "march_rays_chunked)")
+    p.add_argument("--no_adaptive_budget", action="store_true",
+                   help="disable the demand-adapted budget-tier ladder "
+                        "(reference mean_count semantics; train/trainer.py)")
     p.add_argument("--profile", type=str, default="",
                    help="directory: capture a jax.profiler trace of the "
                         "first epoch (TensorBoard-viewable)")
@@ -144,6 +147,7 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         clip_text=getattr(opt, "clip_text", None),
         clip_model_path=getattr(opt, "clip_model_path", "openai/clip-vit-base-patch16"),
         profile_dir=getattr(opt, "profile", ""),
+        adaptive_budget=not getattr(opt, "no_adaptive_budget", False),
     )
     return cfg, tc
 
