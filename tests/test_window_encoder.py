@@ -267,3 +267,21 @@ def test_binned_swap_select_parity():
     g_swap = jax.grad(lambda t: loss(t, True))(table)
     np.testing.assert_allclose(np.asarray(g_swap), np.asarray(g_base),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bin_dest_pallas_matches_xla():
+    """The MXU bin-rank kernel (triangular-matmul cumsum + histogram) must
+    reproduce bin_dest exactly, including non-multiple-of-512 sample counts
+    and empty tiles."""
+    from tngp.kernels.window_encoder import bin_dest, bin_dest_pallas
+
+    rng = np.random.default_rng(23)
+    for M in (100, 512, 1337, 5000):
+        x = jnp.asarray(rng.uniform(0, 1, size=(3, M)).astype(np.float32))
+        # concentrate into a few tiles so some tiles are empty
+        if M == 5000:
+            x = x * 0.3
+        d0, t0 = bin_dest(x, block=64)
+        d1, t1 = bin_dest_pallas(x, block=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0), err_msg=f"M={M}")
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0), err_msg=f"M={M}")

@@ -120,6 +120,107 @@ def bin_dest(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
     return dest, tob
 
 
+_RANK_BS = 512  # samples per bin-rank kernel block
+
+
+def _make_bin_rank_kernel(BS: int):
+    """Per-block tile ranks + histogram, no [NBk, BS, 64] materialization.
+
+    The XLA formulation of the within-tile counting ranks builds and cumsums
+    a [NBk, BS, 64] one-hot (33 MB of HBM traffic at M=131K).  Here each
+    block computes its inclusive one-hot cumsum as ONE MXU matmul against a
+    lower-triangular constant (0/1 operands in bf16 are exact; accumulation
+    is f32, exact to 2^24), extracts each sample's own rank with a 64-row
+    one-hot reduce, and emits the block histogram as a second tiny matmul —
+    everything stays in VMEM.
+    """
+
+    def kernel(key_ref, lt_ref, rank_ref, tot_ref):
+        keys = key_ref[:]  # [1, BS] int32 (pad slots = -1)
+        tid = jax.lax.broadcasted_iota(jnp.int32, (N_TILES, BS), 0)
+        onehot = (keys == tid).astype(jnp.bfloat16)  # [64, BS]
+        cum = jnp.dot(
+            onehot, lt_ref[:], preferred_element_type=jnp.float32
+        )  # [64, BS] inclusive lane cumsum (LT[i, j] = 1 iff i <= j)
+        own = jnp.sum(
+            jnp.where(onehot > 0, cum, 0.0), axis=0, keepdims=True
+        )  # [1, BS] own-rank+1 (0 for pad slots)
+        rank_ref[:] = own.astype(jnp.int32) - 1
+        ones = jnp.ones((1, BS), jnp.bfloat16)
+        tot_ref[:] = jax.lax.dot_general(
+            ones, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [1, 64]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _bin_ranks_pallas(keyp: jax.Array, interpret: bool = False):
+    """keyp: [NBk*BS] int32 padded keys -> (rank [NBk*BS], tot [NBk, 64])."""
+    BS = _RANK_BS
+    NBk = keyp.shape[0] // BS
+    lt = jnp.asarray(
+        np.tril(np.ones((BS, BS), np.float32)).T, jnp.bfloat16
+    )  # LT[i, j] = 1 iff i <= j
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NBk,),
+        in_specs=[
+            pl.BlockSpec((1, BS), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BS, BS), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BS), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_TILES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    rank, tot = pl.pallas_call(
+        _make_bin_rank_kernel(BS),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NBk, BS), jnp.int32),
+            jax.ShapeDtypeStruct((NBk, N_TILES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(keyp.reshape(NBk, BS), lt)
+    return rank.reshape(-1), tot
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def bin_dest_pallas(
+    x01_cf: jax.Array, block: int = DEFAULT_BLOCK, interpret: bool = False
+):
+    """bin_dest with the per-block rank/histogram stage on the MXU
+    (_bin_ranks_pallas); same contract as bin_dest."""
+    M = x01_cf.shape[1]
+    M_pad = padded_size(M, block)
+    NB = M_pad // block
+
+    key = sample_tiles(x01_cf)  # [M]
+    BS = _RANK_BS
+    padm = (-M) % BS
+    keyp = (
+        jnp.concatenate([key, jnp.full((padm,), -1, jnp.int32)]) if padm else key
+    )
+    rank_blk, tot = _bin_ranks_pallas(keyp, interpret=interpret)
+    blk_base = jnp.cumsum(tot, axis=0) - tot  # exclusive [NBk, 64]
+    counts = tot.sum(axis=0)  # [64]
+    padded = -(-counts // block) * block
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    sidx = jnp.arange(M, dtype=jnp.int32)
+    base_s = jnp.take(blk_base.reshape(-1), (sidx // BS) * N_TILES + key)
+    dest = jnp.take(starts, key) + base_s + rank_blk[:M]
+
+    b_start = jnp.arange(NB, dtype=jnp.int32) * block
+    tob = jnp.sum(
+        (starts[None, :] <= b_start[:, None]).astype(jnp.int32), axis=1
+    ) - 1
+    return dest, tob
+
+
 @partial(jax.jit, static_argnames=("block",))
 def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
     """bin_dest plus the explicit inverse permutation (tests / debugging;
@@ -395,7 +496,7 @@ def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret,
                 swap_select=False):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
     M = x01_cf.shape[1]
-    dest, tob = bin_dest(x01_cf, block=block)
+    dest, tob = bin_dest_pallas(x01_cf, block=block, interpret=interpret)
     M_pad = padded_size(M, block)
     # realize the tile sort by scattering (x, y, z, 1) rows to dest — unique
     # indices, so the deterministic scatter-add IS the sort; padding slots
