@@ -19,6 +19,7 @@ from tngp.kernels.window_encoder import (
     _level_views,
     _wob_local,
     bin_dest,
+    bin_dest_pallas,
     padded_size,
 )
 from tngp.kernels.scatter import scatter_add_auto
@@ -63,15 +64,17 @@ def main():
     jax.block_until_ready((xyz8, wob, g_sorted))
     print(f"M_pad={M_pad} NB={M_pad // BLOCK}")
 
-    for name, mxu_f32 in (("f32", True), ("bf16", False)):
+    for name, mxu_f32, swap in (
+        ("f32", True, False), ("bf16", False, False), ("bf16+swap", False, True),
+    ):
         mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
 
         @jax.jit
-        def kfwd(salt):
+        def kfwd(salt, swap=swap):
             x2 = xyz8.at[4, :].set(salt)  # input varies per call
             out = _fwd_pallas(
                 spec, x2, wob, _level_views(spec, win_tab), block=BLOCK,
-                mxu_dtype=mxu_dtype, interpret=False,
+                mxu_dtype=mxu_dtype, interpret=False, swap_select=swap,
             )
             return out, salt + 1.0
 
@@ -79,11 +82,11 @@ def main():
         print(f"fwd kernel only ({name}):  {t*1e3:8.2f} ms")
 
         @jax.jit
-        def kbwd(salt):
+        def kbwd(salt, swap=swap):
             x2 = xyz8.at[4, :].set(salt)
             out = _bwd_pallas(
                 spec, x2, wob, g_sorted + salt, block=BLOCK, mxu_dtype=mxu_dtype,
-                interpret=False,
+                interpret=False, swap_select=swap,
             )
             return out, salt + 1.0
 
@@ -98,6 +101,15 @@ def main():
 
     t = timeit(glue_bin)
     print(f"bin_dest (ranks only):  {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def glue_bin_k(salt):
+        xs = (x + salt * 1e-6) % 1.0
+        dest, tob = bin_dest_pallas(xs, block=BLOCK)
+        return (dest, tob), salt + 1.0
+
+    t = timeit(glue_bin_k)
+    print(f"bin_dest_pallas:        {t*1e3:8.2f} ms")
 
     @jax.jit
     def glue_sort(salt):
