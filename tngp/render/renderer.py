@@ -415,18 +415,44 @@ def _eval_stream_pass(
             res.t0, found[:, None], cfg.dt_gamma, dt_min, dt_max
         )[:, 0]
         rays_t = jnp.where(has_drop, t_res, res.next_t)
-    ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
-        sel, rays_o, rays_d, t0,
-        bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
-        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
-    )
-    out = field.sigma_rgb(params, x_c, d_c)
-    sig_c, rgb_c = out[0], out[1]
-    ws, depth_raw, image = composite_stream(
-        sig_c.astype(jnp.float32) * cfg.density_scale,
-        rgb_c, dt_c, None, ray_id, sel_valid, N, cfg.T_thresh,
-        t_cum=t_rel,
-    )
+    # bucketed field width: the sample prefix is exact, so querying only the
+    # first M/4 (or M/2) slots is IDENTICAL whenever m_eff fits — slots past
+    # m_eff are invalid padding.  lax.cond executes one branch, so
+    # sky-dominated chunks (small m_eff) skip 75% of the field+composite work
+    # while dense chunks take the full-width branch.  All branches return
+    # [N]-shaped accumulators, so shapes agree.
+    m_eff = jnp.sum(sel_valid.astype(jnp.int32))
+
+    def pass_with(Mq):
+        def run():
+            ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+                sel[:Mq], rays_o, rays_d, t0,
+                bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+                dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+            )
+            out = field.sigma_rgb(params, x_c, d_c)
+            sig_c, rgb_c = out[0], out[1]
+            return composite_stream(
+                sig_c.astype(jnp.float32) * cfg.density_scale,
+                rgb_c, dt_c, None, ray_id, sel_valid[:Mq], N, cfg.T_thresh,
+                t_cum=t_rel,
+            )
+
+        return run
+
+    M_total = sel.shape[0]
+    Mq1 = max(128, (M_total // 4 // 128) * 128)
+    Mq2 = max(Mq1, (M_total // 2 // 128) * 128)
+    if Mq2 < M_total:
+        ws, depth_raw, image = jax.lax.cond(
+            m_eff <= Mq1,
+            pass_with(Mq1),
+            lambda: jax.lax.cond(
+                m_eff <= Mq2, pass_with(Mq2), pass_with(M_total)
+            ),
+        )
+    else:
+        ws, depth_raw, image = pass_with(M_total)()
     # the stream compositor's t_cum is relative to the ray start; the eval
     # accumulator (and residual rounds) work in absolute t
     depth_raw = depth_raw + nears.astype(jnp.float32) * ws
