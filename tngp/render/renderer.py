@@ -366,7 +366,6 @@ def _eval_stream_pass(
     from ..ops.march import (
         SQRT3,
         _t_ladder,
-        ladder_samples,
         march_rays_chunked,
         march_rays_stream,
     )
@@ -415,12 +414,25 @@ def _eval_stream_pass(
             res.t0, found[:, None], cfg.dt_gamma, dt_min, dt_max
         )[:, 0]
         rays_t = jnp.where(has_drop, t_res, res.next_t)
-    # bucketed field width: the sample prefix is exact, so querying only the
-    # first M/4 (or M/2) slots is IDENTICAL whenever m_eff fits — slots past
-    # m_eff are invalid padding.  lax.cond executes one branch, so
-    # sky-dominated chunks (small m_eff) skip 75% of the field+composite work
-    # while dense chunks take the full-width branch.  All branches return
-    # [N]-shaped accumulators, so shapes agree.
+    ws, depth_raw, image = _bucketed_stream_query(
+        field, params, sel, sel_valid, rays_o, rays_d, t0, N, cfg
+    )
+    # the stream compositor's t_cum is relative to the ray start; the eval
+    # accumulator (and residual rounds) work in absolute t
+    depth_raw = depth_raw + nears.astype(jnp.float32) * ws
+    return rays_t, ws, depth_raw, image
+
+
+def _bucketed_stream_query(field, params, sel, sel_valid, rays_o, rays_d, t0,
+                           n_rays, cfg):
+    """Field-query + stream-composite the selected sample prefix at bucketed
+    width.  The prefix is exact, so querying only the first M/4 (or M/2)
+    slots is IDENTICAL whenever m_eff fits — slots past m_eff are invalid
+    padding.  lax.cond executes one branch, so sky-dominated chunks (small
+    m_eff) skip 75% of the field+composite work while dense chunks take the
+    full-width branch; every branch returns [n_rays]-shaped accumulators."""
+    from ..ops.march import ladder_samples
+
     m_eff = jnp.sum(sel_valid.astype(jnp.int32))
 
     def pass_with(Mq):
@@ -434,8 +446,8 @@ def _eval_stream_pass(
             sig_c, rgb_c = out[0], out[1]
             return composite_stream(
                 sig_c.astype(jnp.float32) * cfg.density_scale,
-                rgb_c, dt_c, None, ray_id, sel_valid[:Mq], N, cfg.T_thresh,
-                t_cum=t_rel,
+                rgb_c, dt_c, None, ray_id, sel_valid[:Mq], n_rays,
+                cfg.T_thresh, t_cum=t_rel,
             )
 
         return run
@@ -443,20 +455,13 @@ def _eval_stream_pass(
     M_total = sel.shape[0]
     Mq1 = max(128, (M_total // 4 // 128) * 128)
     Mq2 = max(Mq1, (M_total // 2 // 128) * 128)
-    if Mq2 < M_total:
-        ws, depth_raw, image = jax.lax.cond(
-            m_eff <= Mq1,
-            pass_with(Mq1),
-            lambda: jax.lax.cond(
-                m_eff <= Mq2, pass_with(Mq2), pass_with(M_total)
-            ),
-        )
-    else:
-        ws, depth_raw, image = pass_with(M_total)()
-    # the stream compositor's t_cum is relative to the ray start; the eval
-    # accumulator (and residual rounds) work in absolute t
-    depth_raw = depth_raw + nears.astype(jnp.float32) * ws
-    return rays_t, ws, depth_raw, image
+    if Mq2 >= M_total:
+        return pass_with(M_total)()
+    return jax.lax.cond(
+        m_eff <= Mq1,
+        pass_with(Mq1),
+        lambda: jax.lax.cond(m_eff <= Mq2, pass_with(Mq2), pass_with(M_total)),
+    )
 
 
 def render_rays_eval(
@@ -588,7 +593,7 @@ def render_rays_eval(
             from its resume t, field-query exactly the selected samples, and
             stream-composite — no [Na, K] slab, no field work on masked
             slots, no per-round dilated-grid rebuild."""
-            from ..ops.march import ladder_samples, march_rays_chunked
+            from ..ops.march import march_rays_chunked
 
             rnd, rays_t, ws, depth, image = state
             sel, slot_ok = _first_alive(rays_t, ws)
@@ -607,18 +612,8 @@ def render_rays_eval(
                 max_steps=cfg.max_steps, M_budget=M_res, G=cfg.march_chunk,
                 dilated_grid=dgrid,
             )
-            ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
-                cm.sel, o_a, d_a, cm.t0,
-                bound=cfg.bound, cascades=cfg.cascades,
-                grid_size=cfg.grid_size, dt_gamma=cfg.dt_gamma,
-                max_steps=cfg.max_steps,
-            )
-            out = field.sigma_rgb(params, x_c, d_c)
-            sig_c, rgb_c = out[0], out[1]
-            ws_c, dep_c, img_c = composite_stream(
-                sig_c.astype(jnp.float32) * cfg.density_scale,
-                rgb_c, dt_c, None, ray_id, cm.sel_valid, Na, cfg.T_thresh,
-                t_cum=t_rel,
+            ws_c, dep_c, img_c = _bucketed_stream_query(
+                field, params, cm.sel, cm.sel_valid, o_a, d_a, cm.t0, Na, cfg
             )
             # continue from accumulated transmittance: the round's local
             # weights scale by T_in (kernel_composite_rays,
