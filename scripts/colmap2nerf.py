@@ -20,7 +20,11 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from pose_utils import closest_point_2_lines, rotation_between  # noqa: E402
+from pose_utils import (  # noqa: E402
+    closest_point_2_lines,
+    dump_poses_ply,
+    rotation_between,
+)
 
 
 def parse_args():
@@ -35,6 +39,10 @@ def parse_args():
                    help="enable COLMAP SiftExtraction.estimate_affine_shape "
                         "+ domain_size_pooling (CPU-only, better features; "
                         "reference colmap2nerf.py:31)")
+    p.add_argument("--dump_poses", default="",
+                   help="write final camera frusta to this PLY path "
+                        "(headless equivalent of the reference's "
+                        "visualize_poses)")
     p.add_argument("--keep_colmap_coords", action="store_true",
                    help="skip the up-vector reorientation / recentering / "
                         "rescale (write raw COLMAP world coordinates)")
@@ -240,6 +248,12 @@ def main():
     else:
         for f in frames:
             f["transform_matrix"] = np.array(f["transform_matrix"]).tolist()
+
+    if args.dump_poses:
+        dump_poses_ply(
+            np.stack([np.array(f["transform_matrix"]) for f in frames]),
+            args.dump_poses,
+        )
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

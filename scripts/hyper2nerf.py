@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Convert a HyperNeRF/Nerfies capture (dataset.json, scene.json, camera/*.json)
-to D-NeRF-style `transforms_{train,val}.json` with time fields.
+to D-NeRF-style `transforms_{train,val,test}.json` with time fields.
 
 Capability parity with the reference's scripts/hyper2nerf.py: vrig captures
 use the dataset's own train/val ids; interp captures (no val_ids) are split
@@ -20,7 +20,7 @@ import numpy as np
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from pose_utils import normalize_world  # noqa: E402
+from pose_utils import dump_poses_ply, normalize_world  # noqa: E402
 
 
 def load_camera(path):
@@ -42,6 +42,10 @@ def main():
     p.add_argument("--interval", type=int, default=4,
                    help="interp-capture train split stride (no val_ids case); "
                         "vals are the midpoints between train frames")
+    p.add_argument("--dump_poses", default="",
+                   help="write normalized camera frusta to this PLY path "
+                        "(headless equivalent of the reference's "
+                        "visualize_poses)")
     args = p.parse_args()
 
     with open(os.path.join(args.path, "dataset.json")) as f:
@@ -82,6 +86,8 @@ def main():
         h = cam["image_size"][1] // args.downscale
 
     poses = normalize_world(np.stack(poses))
+    if args.dump_poses:
+        dump_poses_ply(poses, args.dump_poses)
 
     def frames_of(ids):
         return [
@@ -93,9 +99,12 @@ def main():
             for i in ids
         ]
 
+    # reference split files (hyper2nerf.py:222-224): val is the 1-in-10
+    # subsample of the held-out frames, test is all of them
     for split, frames in (
         ("train", frames_of(train_ids)),
-        ("val", frames_of(val_ids)[::10]),  # reference subsamples vals 1-in-10
+        ("val", frames_of(val_ids)[::10]),
+        ("test", frames_of(val_ids)),
     ):
         out = {"fl_x": fl, "fl_y": fl, "cx": cx, "cy": cy, "w": w, "h": h,
                "frames": frames}

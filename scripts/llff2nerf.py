@@ -18,7 +18,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from pose_utils import normalize_world  # noqa: E402
+from pose_utils import dump_poses_ply, normalize_world  # noqa: E402
 
 
 def main():
@@ -30,6 +30,10 @@ def main():
     p.add_argument("--hold", type=int, default=8,
                    help="hold out every k-th image for test")
     p.add_argument("--aabb_scale", type=int, default=2)
+    p.add_argument("--dump_poses", default="",
+                   help="write normalized camera frusta to this PLY path "
+                        "(headless equivalent of the reference's "
+                        "visualize_poses)")
     args = p.parse_args()
 
     pb = np.load(os.path.join(args.path, "poses_bounds.npy"))  # [N, 17]
@@ -48,6 +52,8 @@ def main():
     bottom = np.tile(np.array([0, 0, 0, 1.0]), (N, 1, 1))
     mats = np.concatenate([mats, bottom], axis=1)  # [N, 4, 4]
     mats = normalize_world(mats)
+    if args.dump_poses:
+        dump_poses_ply(mats, args.dump_poses)
 
     img_dir = os.path.join(args.path, args.images)
     names = sorted(

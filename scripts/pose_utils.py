@@ -37,6 +37,54 @@ def closest_point_2_lines(oa, da, ob, db):
     return (oa + ta * da + ob + tb * db) * 0.5, denom
 
 
+def dump_poses_ply(poses: np.ndarray, path: str, size: float = 0.1) -> None:
+    """Headless stand-in for the reference's trimesh `visualize_poses`
+    (scripts/llff2nerf.py:36-63, hyper2nerf.py:9-33): writes each camera as
+    the same 9-segment frustum wireframe (4 corner rays, 4 image-plane edges,
+    1 view-direction spike) plus a unit-bound box, as an ASCII PLY with edge
+    elements — viewable in any mesh tool instead of an interactive window."""
+    verts, edges = [], []
+
+    def seg(a, b):
+        edges.append((len(verts), len(verts) + 1))
+        verts.extend([a, b])
+
+    # [-1, 1]^3 bound box outline (reference draws a 2-extent box)
+    corners = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], float
+    )
+    for i in range(8):
+        for j in range(i + 1, 8):
+            if np.sum(corners[i] != corners[j]) == 1:  # axis-aligned edge
+                seg(corners[i], corners[j])
+
+    for pose in poses:
+        pos = pose[:3, 3]
+        a = pos + size * pose[:3, 0] + size * pose[:3, 1] + size * pose[:3, 2]
+        b = pos - size * pose[:3, 0] + size * pose[:3, 1] + size * pose[:3, 2]
+        c = pos - size * pose[:3, 0] - size * pose[:3, 1] + size * pose[:3, 2]
+        d = pos + size * pose[:3, 0] - size * pose[:3, 1] + size * pose[:3, 2]
+        dir = (a + b + c + d) / 4 - pos
+        dir = dir / (np.linalg.norm(dir) + 1e-8)
+        o = pos + dir * 3
+        for s, e in ((pos, a), (pos, b), (pos, c), (pos, d),
+                     (a, b), (b, c), (c, d), (d, a), (pos, o)):
+            seg(s, e)
+
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element edge {len(edges)}\n"
+            "property int vertex1\nproperty int vertex2\nend_header\n"
+        )
+        for v in verts:
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for e in edges:
+            f.write(f"{e[0]} {e[1]}\n")
+
+
 def normalize_world(poses: np.ndarray, w_thresh: float = 0.01) -> np.ndarray:
     """colmap2nerf-style normalization on a [N, 4, 4] c2w pose stack:
     flip camera y/z, swap world x/y, flip world z, align mean up to +z,

@@ -155,12 +155,24 @@ def test_hyper2nerf(tmp_path):
     (tmp_path / "metadata.json").write_text(json.dumps(
         {name: {"time_id": i} for i, name in enumerate(names)}))
 
-    r = run_script("hyper2nerf.py", [str(tmp_path), "--interval", "4"],
+    ply = tmp_path / "poses.ply"
+    r = run_script("hyper2nerf.py",
+                   [str(tmp_path), "--interval", "4",
+                    "--dump_poses", str(ply)],
                    str(tmp_path))
     assert r.returncode == 0, r.stderr
     tr = json.loads((tmp_path / "transforms_train.json").read_text())
     va = json.loads((tmp_path / "transforms_val.json").read_text())
+    te = json.loads((tmp_path / "transforms_test.json").read_text())
     assert len(tr["frames"]) == 3  # 12 / interval 4
     assert len(va["frames"]) == 1  # midpoints [::10]
+    assert len(te["frames"]) == 2  # all midpoints (ref writes full vals)
     assert all(0.0 <= f["time"] <= 1.0 for f in tr["frames"])
     assert tr["fl_x"] == 250.0  # 500 / downscale 2
+
+    # pose dump: valid PLY with 9 segments per camera + 12 box edges
+    header = ply.read_text().splitlines()
+    assert header[0] == "ply"
+    n_edge = next(int(l.split()[-1]) for l in header
+                  if l.startswith("element edge"))
+    assert n_edge == 12 + 9 * 12
