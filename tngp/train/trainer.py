@@ -513,15 +513,18 @@ class Trainer:
         dgrid = (
             self._dgrid_fn(self.grid.bitfield) if self.use_grid else None
         )
+        # dispatch every chunk before any D2H read: np.asarray inside the
+        # loop would block on each chunk and serialize device work with the
+        # host-side glue (jax dispatch is async — queue it all, collect after)
         for s in range(0, n + pad, chunk):
             img, dep = self._eval_fn(
                 params, o[s : s + chunk], d[s : s + chunk], self.grid.bitfield,
                 bg, dgrid,
             )
-            imgs.append(np.asarray(img))
-            deps.append(np.asarray(dep))
-        img = np.concatenate(imgs)[:n].reshape(H, W, 3)
-        dep = np.concatenate(deps)[:n].reshape(H, W)
+            imgs.append(img)
+            deps.append(dep)
+        img = np.concatenate([np.asarray(x) for x in imgs])[:n].reshape(H, W, 3)
+        dep = np.concatenate([np.asarray(x) for x in deps])[:n].reshape(H, W)
         return img, dep
 
     def evaluate(self, dataset: NeRFDataset, write_images: bool = False) -> float:
