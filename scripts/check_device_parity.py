@@ -1,0 +1,98 @@
+"""On-device window-encoder parity: Mosaic kernel vs the pure-XLA reference.
+
+The CPU suite can only run the Pallas kernels in interpret mode, and Mosaic
+is known to diverge from interpret (see kernels/window_encoder.py NOTE on the
+bf16 accumulator).  This script runs the REAL compiled kernel against
+`window_encode_ref` on the same device with (a) the trained hard-scene table
+(a row-mapping deviation is glaring there) and (b) a fresh random table, and
+reports per-level deviation stats.  Motivated by an 8 dB gap between the
+on-TPU eval of the hard-scene checkpoint (48.6 dB) and faithful CPU
+re-renders (40.2 dB) — if the device forward deviates, training adapted to
+it and checkpoints are not portable across backends.
+
+    python scripts/check_device_parity.py
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tngp.kernels.window_encoder import window_encode_binned  # noqa: E402
+from tngp.models import NGPNetwork  # noqa: E402
+from tngp.ops.window_table import window_encode_ref, window_unview  # noqa: E402
+
+
+def report(tag, f_dev, f_ref, L, C):
+    d = np.abs(np.asarray(f_dev) - np.asarray(f_ref))
+    s = np.abs(np.asarray(f_ref)) + 1e-7
+    rel = d / s
+    print(f"[{tag}] overall: mean_abs {d.mean():.3e} max_abs {d.max():.3e} "
+          f"frac(rel>5%) {(rel > 0.05).mean():.4f}")
+    worst = []
+    for l in range(L):
+        dl = d[l * C : (l + 1) * C]
+        rl = rel[l * C : (l + 1) * C]
+        worst.append((float((rl > 0.05).mean()), l, float(dl.max())))
+    for frac, l, mx in sorted(worst, reverse=True)[:4]:
+        print(f"[{tag}]   level {l}: frac(rel>5%) {frac:.4f} max_abs {mx:.3e}")
+
+
+def main():
+    dev = jax.default_backend()
+    print(f"# backend: {dev}")
+    model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16,
+                       encoding="hashgrid_window")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)),
+                        jnp.ones((8, 3)) / np.sqrt(3))
+    spec = model.bind(params).encoder.spec
+    L, C = spec.num_levels, spec.level_dim
+
+    tabs = {"random": jax.random.normal(
+        jax.random.PRNGKey(2), params["params"]["encoder"]["embeddings"].shape
+    ) * 1e-2}
+    ckpt = "/tmp/hard_base/checkpoints/hard_base_ep0060.npz"
+    if os.path.exists(ckpt):
+        from flax import serialization
+
+        with open(ckpt, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())  # template-free
+        try:
+            tabs["trained"] = jnp.asarray(
+                raw["ema"]["params"]["encoder"]["embeddings"]
+            )
+        except Exception as e:
+            print(f"# trained table unavailable ({type(e).__name__}: {e})")
+
+    k = jax.random.PRNGKey(3)
+    x01 = jax.random.uniform(k, (3, 65536))
+    # structured probes: points straddling tile boundaries (1/4-grid planes)
+    xb = jnp.linspace(0.249999, 0.250001, 1024)
+    x01 = jnp.concatenate(
+        [x01, jnp.stack([xb, jnp.full_like(xb, 0.6), jnp.full_like(xb, 0.3)])],
+        axis=1,
+    )
+
+    for tag, tab in tabs.items():
+        for mxu_f32 in (False, True):
+            f_dev = jax.jit(
+                lambda t, x: window_encode_binned(x, t, spec, 512, mxu_f32,
+                                                  False, False)
+            )(tab, x01)
+            f_ref = jax.jit(
+                lambda t, x: window_encode_ref(x, window_unview(t, spec), spec)
+            )(tab, x01)
+            report(f"{tag} mxu_f32={mxu_f32}", f_dev, f_ref, L, C)
+
+
+if __name__ == "__main__":
+    main()
