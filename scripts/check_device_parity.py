@@ -47,9 +47,42 @@ def report(tag, f_dev, f_ref, L, C):
         print(f"[{tag}]   level {l}: frac(rel>5%) {frac:.4f} max_abs {mx:.3e}")
 
 
+def int_mul_probe():
+    """Micro-test: Mosaic int32 wrapping multiply vs XLA (the in-kernel hash
+    depends on exact mod-2^32 products of cell coords with large primes)."""
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from tngp.kernels.window_encoder import _P1_I32, _P2_I32
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]
+        o_ref[:] = (x * _P1_I32) ^ (x * _P2_I32)
+
+    x = jnp.arange(1 << 13, dtype=jnp.int32).reshape(8, -1)  # cc range
+    got = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+    want = (x * _P1_I32) ^ (x * _P2_I32)
+    bad = int(jnp.sum(got != want))
+    print(f"[int-mul probe] mismatches: {bad}/{x.size}")
+    if bad:
+        idx = np.argwhere(np.asarray(got != want))[:4]
+        for ij in idx:
+            i, j = int(ij[0]), int(ij[1])
+            print(f"  x={int(x[i, j])} got={int(got[i, j])} want={int(want[i, j])}")
+
+
 def main():
     dev = jax.default_backend()
     print(f"# backend: {dev}")
+    try:
+        int_mul_probe()
+    except Exception as e:
+        print(f"[int-mul probe] failed: {type(e).__name__}: {e}")
     model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16,
                        encoding="hashgrid_window")
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)),
