@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30000)
     ap.add_argument("--compact_fraction", type=float, default=0.25)
     ap.add_argument("--tag", type=str, default=None)
+    ap.add_argument("--encoding", type=str, default="hashgrid_window",
+                    help="hashgrid_window (TPU kernels) | hashgrid (golden) — "
+                         "the A/B isolates device-kernel effects on quality")
     args = ap.parse_args()
     tag = args.tag or ("em" if args.error_map else "base")
 
@@ -73,7 +76,7 @@ def main():
                          images=images[:n_val].astype(np.float32))
 
     model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16,
-                       encoding="hashgrid_window")
+                       encoding=args.encoding)
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128,
                        min_near=0.05, compact_fraction=args.compact_fraction,
                        density_thresh=10.0, march_dense=True)
