@@ -76,6 +76,43 @@ def int_mul_probe():
             print(f"  x={int(x[i, j])} got={int(got[i, j])} want={int(want[i, j])}")
 
 
+def row_mapping_probe(spec, n=8192):
+    """Dump the (level -> window row) mapping the kernel actually reads.
+
+    Value-codes every window as value[lane, hi] = lane + 128*hi (same both
+    channels) and probes positions whose interpolation collapses to (almost)
+    a single corner, so each level's output feature IS the row index it read
+    (up to ~0.1 interpolation noise; rounded).  Compares device vs ref."""
+    NW = spec.win_offsets[-1]
+    lane = jnp.arange(128, dtype=jnp.float32)[:, None]
+    hi = jnp.arange(64, dtype=jnp.float32)[None, :]
+    code = lane + 128.0 * hi  # [128, 64], max 8191 (exact f32)
+    tab = jnp.broadcast_to(code, (NW, spec.level_dim, 128, 64))
+
+    k = jax.random.PRNGKey(11)
+    x01 = jax.random.uniform(k, (3, n), minval=1e-4, maxval=1 - 1e-4)
+    f_dev = jax.jit(
+        lambda t, x: window_encode_binned(x, t, spec, 512, True, False, False)
+    )(tab, x01)
+    f_ref = jax.jit(
+        lambda t, x: window_encode_ref(x, window_unview(t, spec), spec)
+    )(tab, x01)
+    L, C = spec.num_levels, spec.level_dim
+    dev_rows = np.asarray(f_dev).reshape(L, C, n)[:, 0]
+    ref_rows = np.asarray(f_ref).reshape(L, C, n)[:, 0]
+    # interpolation mixes 8 corner codes; identical mixing on both sides
+    # makes even non-integer outputs comparable — report |diff| > 0.5 rows
+    for l in range(L):
+        d = np.abs(dev_rows[l] - ref_rows[l])
+        frac = float((d > 0.5).mean())
+        print(f"[row map] level {l:2d}: mismatch frac {frac:.4f} "
+              f"max |d| {d.max():.1f}")
+        if frac > 0:
+            j = int(np.argmax(d))
+            print(f"    e.g. x01={np.asarray(x01)[:, j]} dev={dev_rows[l][j]:.2f} "
+                  f"ref={ref_rows[l][j]:.2f}")
+
+
 def main():
     dev = jax.default_backend()
     print(f"# backend: {dev}")
@@ -125,6 +162,11 @@ def main():
                 lambda t, x: window_encode_ref(x, window_unview(t, spec), spec)
             )(tab, x01)
             report(f"{tag} mxu_f32={mxu_f32}", f_dev, f_ref, L, C)
+
+    try:
+        row_mapping_probe(spec)
+    except Exception as e:
+        print(f"[row map] failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
