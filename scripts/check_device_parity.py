@@ -33,11 +33,13 @@ from tngp.ops.window_table import window_encode_ref, window_unview  # noqa: E402
 
 
 def report(tag, f_dev, f_ref, L, C):
+    """Returns the overall frac(rel>5%) for pass/fail aggregation."""
     d = np.abs(np.asarray(f_dev) - np.asarray(f_ref))
     s = np.abs(np.asarray(f_ref)) + 1e-7
     rel = d / s
     print(f"[{tag}] overall: mean_abs {d.mean():.3e} max_abs {d.max():.3e} "
           f"frac(rel>5%) {(rel > 0.05).mean():.4f}")
+    overall = float((rel > 0.05).mean())
     worst = []
     for l in range(L):
         dl = d[l * C : (l + 1) * C]
@@ -45,6 +47,7 @@ def report(tag, f_dev, f_ref, L, C):
         worst.append((float((rl > 0.05).mean()), l, float(dl.max())))
     for frac, l, mx in sorted(worst, reverse=True)[:4]:
         print(f"[{tag}]   level {l}: frac(rel>5%) {frac:.4f} max_abs {mx:.3e}")
+    return overall
 
 
 def int_mul_probe():
@@ -74,6 +77,7 @@ def int_mul_probe():
         for ij in idx:
             i, j = int(ij[0]), int(ij[1])
             print(f"  x={int(x[i, j])} got={int(got[i, j])} want={int(want[i, j])}")
+    return bad
 
 
 def row_mapping_probe(spec, n=8192):
@@ -102,15 +106,18 @@ def row_mapping_probe(spec, n=8192):
     ref_rows = np.asarray(f_ref).reshape(L, C, n)[:, 0]
     # interpolation mixes 8 corner codes; identical mixing on both sides
     # makes even non-integer outputs comparable — report |diff| > 0.5 rows
+    worst = 0.0
     for l in range(L):
         d = np.abs(dev_rows[l] - ref_rows[l])
         frac = float((d > 0.5).mean())
+        worst = max(worst, frac)
         print(f"[row map] level {l:2d}: mismatch frac {frac:.4f} "
               f"max |d| {d.max():.1f}")
         if frac > 0:
             j = int(np.argmax(d))
             print(f"    e.g. x01={np.asarray(x01)[:, j]} dev={dev_rows[l][j]:.2f} "
                   f"ref={ref_rows[l][j]:.2f}")
+    return worst
 
 
 def main():
@@ -152,6 +159,7 @@ def main():
         axis=1,
     )
 
+    fail = 0.0
     for tag, tab in tabs.items():
         for mxu_f32 in (False, True):
             f_dev = jax.jit(
@@ -161,13 +169,16 @@ def main():
             f_ref = jax.jit(
                 lambda t, x: window_encode_ref(x, window_unview(t, spec), spec)
             )(tab, x01)
-            report(f"{tag} mxu_f32={mxu_f32}", f_dev, f_ref, L, C)
-
+            frac = report(f"{tag} mxu_f32={mxu_f32}", f_dev, f_ref, L, C)
+            if mxu_f32:  # f32 matmuls: any deviation is a mapping bug,
+                fail = max(fail, frac)  # not rounding
     try:
-        row_mapping_probe(spec)
+        fail = max(fail, row_mapping_probe(spec))
     except Exception as e:
         print(f"[row map] failed: {type(e).__name__}: {e}")
+    print(f"# PARITY {'FAIL' if fail > 1e-4 else 'OK'} (worst frac {fail:.4f})")
+    return 1 if fail > 1e-4 else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
