@@ -121,6 +121,7 @@ def bin_dest(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
 
 
 _RANK_BS = 512  # samples per bin-rank kernel block
+_RANK_ROWS = 8  # blocks per grid step (Pallas: sublane block dim % 8 == 0)
 
 
 def _make_bin_rank_kernel(BS: int):
@@ -132,25 +133,30 @@ def _make_bin_rank_kernel(BS: int):
     lower-triangular constant (0/1 operands in bf16 are exact; accumulation
     is f32, exact to 2^24), extracts each sample's own rank with a 64-row
     one-hot reduce, and emits the block histogram as a second tiny matmul —
-    everything stays in VMEM.
+    everything stays in VMEM.  Each grid step handles _RANK_ROWS independent
+    blocks (static unroll) so the sublane block dim satisfies the Pallas
+    divisible-by-8 rule; interpret mode does not enforce it, the device does.
     """
 
     def kernel(key_ref, lt_ref, rank_ref, tot_ref):
-        keys = key_ref[:]  # [1, BS] int32 (pad slots = -1)
+        lt = lt_ref[:]
         tid = jax.lax.broadcasted_iota(jnp.int32, (N_TILES, BS), 0)
-        onehot = (keys == tid).astype(jnp.bfloat16)  # [64, BS]
-        cum = jnp.dot(
-            onehot, lt_ref[:], preferred_element_type=jnp.float32
-        )  # [64, BS] inclusive lane cumsum (LT[i, j] = 1 iff i <= j)
-        own = jnp.sum(
-            jnp.where(onehot > 0, cum, 0.0), axis=0, keepdims=True
-        )  # [1, BS] own-rank+1 (0 for pad slots)
-        rank_ref[:] = own.astype(jnp.int32) - 1
-        ones = jnp.ones((1, BS), jnp.bfloat16)
-        tot_ref[:] = jax.lax.dot_general(
-            ones, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [1, 64]
+        for r in range(_RANK_ROWS):
+            keys = key_ref[r : r + 1, :]  # [1, BS] int32 (pad slots = -1)
+            mask = keys == tid  # [64, BS] bool — int compare; Mosaic rejects
+            onehot = mask.astype(jnp.bfloat16)  # bf16 cmpf ("Target does not
+            cum = jnp.dot(                      # support this comparison")
+                onehot, lt, preferred_element_type=jnp.float32
+            )  # [64, BS] inclusive lane cumsum (LT[i, j] = 1 iff i <= j)
+            own = jnp.sum(
+                jnp.where(mask, cum, 0.0), axis=0, keepdims=True
+            )  # [1, BS] own-rank+1 (0 for pad slots)
+            rank_ref[r : r + 1, :] = own.astype(jnp.int32) - 1
+            ones = jnp.ones((1, BS), jnp.bfloat16)
+            tot_ref[r : r + 1, :] = jax.lax.dot_general(
+                ones, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # [1, 64]
 
     return kernel
 
@@ -160,31 +166,38 @@ def _bin_ranks_pallas(keyp: jax.Array, interpret: bool = False):
     """keyp: [NBk*BS] int32 padded keys -> (rank [NBk*BS], tot [NBk, 64])."""
     BS = _RANK_BS
     NBk = keyp.shape[0] // BS
+    R = _RANK_ROWS
+    NBk_pad = -(-NBk // R) * R
+    keys2 = keyp.reshape(NBk, BS)
+    if NBk_pad != NBk:  # pad rows get key -1 (no tile) -> rank -1, tot 0
+        keys2 = jnp.concatenate(
+            [keys2, jnp.full((NBk_pad - NBk, BS), -1, jnp.int32)]
+        )
     lt = jnp.asarray(
         np.tril(np.ones((BS, BS), np.float32)).T, jnp.bfloat16
     )  # LT[i, j] = 1 iff i <= j
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(NBk,),
+        grid=(NBk_pad // R,),
         in_specs=[
-            pl.BlockSpec((1, BS), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, BS), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BS, BS), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BS), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_TILES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, BS), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, N_TILES), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
     )
     rank, tot = pl.pallas_call(
         _make_bin_rank_kernel(BS),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((NBk, BS), jnp.int32),
-            jax.ShapeDtypeStruct((NBk, N_TILES), jnp.int32),
+            jax.ShapeDtypeStruct((NBk_pad, BS), jnp.int32),
+            jax.ShapeDtypeStruct((NBk_pad, N_TILES), jnp.int32),
         ],
         interpret=interpret,
-    )(keyp.reshape(NBk, BS), lt)
-    return rank.reshape(-1), tot
+    )(keys2, lt)
+    return rank[:NBk].reshape(-1), tot[:NBk]
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
