@@ -120,6 +120,32 @@ def row_mapping_probe(spec, n=8192):
     return worst
 
 
+def bwd_probe(spec, tab, x01):
+    """Compiled backward kernel vs the ref VJP (f32 matmuls: any deviation is
+    a bug, not rounding).  window_unview is linear, so the ref grad comes
+    back in window layout and the two grads compare elementwise."""
+    c = jnp.arange(x01.shape[1] * spec.num_levels * spec.level_dim,
+                   dtype=jnp.float32)
+    cot = (c.reshape(spec.num_levels * spec.level_dim, -1) % 7.0) - 3.0
+
+    def loss_dev(t, x):
+        return jnp.vdot(window_encode_binned(x, t, spec, 512, True, False,
+                                             False), cot)
+
+    def loss_ref(t, x):
+        return jnp.vdot(window_encode_ref(x, window_unview(t, spec), spec),
+                        cot)
+
+    g_dev = np.asarray(jax.jit(jax.grad(loss_dev))(tab, x01))
+    g_ref = np.asarray(jax.jit(jax.grad(loss_ref))(tab, x01))
+    d = np.abs(g_dev - g_ref)
+    s = np.abs(g_ref) + 1e-6
+    frac = float((d / s > 0.05).mean())
+    print(f"[bwd grad] mean_abs {d.mean():.3e} max_abs {d.max():.3e} "
+          f"frac(rel>5%) {frac:.4f}")
+    return frac
+
+
 def main():
     dev = jax.default_backend()
     print(f"# backend: {dev}")
@@ -176,6 +202,10 @@ def main():
         fail = max(fail, row_mapping_probe(spec))
     except Exception as e:
         print(f"[row map] failed: {type(e).__name__}: {e}")
+    try:
+        fail = max(fail, bwd_probe(spec, tabs["random"], x01))
+    except Exception as e:
+        print(f"[bwd grad] failed: {type(e).__name__}: {e}")
     print(f"# PARITY {'FAIL' if fail > 1e-4 else 'OK'} (worst frac {fail:.4f})")
     return 1 if fail > 1e-4 else 0
 
