@@ -163,8 +163,12 @@ def main():
     tabs = {"random": jax.random.normal(
         jax.random.PRNGKey(2), params["params"]["encoder"]["embeddings"].shape
     ) * 1e-2}
-    ckpt = "/tmp/hard_base/checkpoints/hard_base_ep0060.npz"
-    if os.path.exists(ckpt):
+    import glob
+
+    cands = sorted(glob.glob("/tmp/hard_*/checkpoints/*.npz"))
+    ckpt = cands[-1] if cands else ""
+    if ckpt:
+        print(f"# trained table: {ckpt}")
         from flax import serialization
 
         with open(ckpt, "rb") as f:
@@ -192,12 +196,15 @@ def main():
                 lambda t, x: window_encode_binned(x, t, spec, 512, mxu_f32,
                                                   False, False)
             )(tab, x01)
+            # the ref emulates the kernel's operand rounding per mode, so
+            # BOTH rows gate: any deviation is a mapping/precision bug
             f_ref = jax.jit(
-                lambda t, x: window_encode_ref(x, window_unview(t, spec), spec)
+                lambda t, x: window_encode_ref(
+                    x, window_unview(t, spec), spec,
+                    emulate_bf16=not mxu_f32)
             )(tab, x01)
             frac = report(f"{tag} mxu_f32={mxu_f32}", f_dev, f_ref, L, C)
-            if mxu_f32:  # f32 matmuls: any deviation is a mapping bug,
-                fail = max(fail, frac)  # not rounding
+            fail = max(fail, frac)
     try:
         fail = max(fail, row_mapping_probe(spec))
     except Exception as e:

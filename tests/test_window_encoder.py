@@ -159,6 +159,26 @@ def test_binned_forward_matches_ref():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_binned_bf16_mode_matches_emulating_ref():
+    """The bf16 training mode's numerics are part of the encoder SEMANTICS:
+    the ref must reproduce them (emulate_bf16) so checkpoints evaluate
+    identically across backends (the round-2 8 dB cross-backend eval gap —
+    MXU default precision rounds f32 operands to bf16 on device)."""
+    spec = small_spec(num_levels=4)
+    rng = np.random.default_rng(3)
+    M = 200
+    x = jnp.asarray(rng.uniform(0, 1, size=(3, M)).astype(np.float32))
+    table = jnp.asarray(
+        rng.normal(size=(spec.total_rows, spec.level_dim)).astype(np.float32)
+    )
+    got = window_encode_binned(x, window_view(table, spec), spec, 64, False, True)
+    want = window_encode_ref(x, table, spec, emulate_bf16=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+    # and the emulation is a real effect: plain f32 ref differs measurably
+    plain = window_encode_ref(x, table, spec)
+    assert np.abs(np.asarray(plain) - np.asarray(want)).max() > 1e-4
+
+
 def test_window_view_roundtrip():
     spec = small_spec(num_levels=3)
     rng = np.random.default_rng(7)

@@ -100,8 +100,11 @@ class WindowGridEncoder(nn.Module):
                 x01, self.embeddings, self.spec, self.block, self.mxu_f32,
                 False, self.swap_select,
             )
+        # off-TPU fallback reproduces the device kernel's numerics so
+        # checkpoints are portable across backends (see window_encode_ref)
         return window_encode_ref(
-            x01, window_unview(self.embeddings, self.spec), self.spec
+            x01, window_unview(self.embeddings, self.spec), self.spec,
+            emulate_bf16=not self.mxu_f32,
         )
 
 

@@ -290,9 +290,20 @@ def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int):
     return hi, lo, w
 
 
+def _mxu_precision(mxu_dtype):
+    """TPU lowers f32 matmuls at DEFAULT precision to ONE bf16xbf16 MXU pass
+    (measured bit-identical to pre-rounding both operands to bf16) — so
+    mxu_f32=True silently rounded the table AND the interpolation weights to
+    bf16, and checkpoints trained on-device deviated ~1% from the f32 golden
+    path on other backends (the round-2 8 dB cross-backend eval gap).
+    HIGHEST forces true-f32 multi-pass accumulation."""
+    return jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
+
+
 def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
+    prec = _mxu_precision(mxu_dtype)
 
     def kernel(wob_ref, xyz_ref, *win_and_out):
         win_refs, out_ref = win_and_out[:L], win_and_out[L]
@@ -319,11 +330,12 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
                 if swap_select:
                     g = jax.lax.dot_general(
                         win_t, Bt, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.float32, precision=prec,
                     )  # [64, 8S]
                     val = jnp.sum(jnp.where(selh, g, 0.0), axis=0, keepdims=True)
                 else:
-                    g = jnp.dot(win_t, At, preferred_element_type=jnp.float32)
+                    g = jnp.dot(win_t, At, preferred_element_type=jnp.float32,
+                                precision=prec)
                     # lane-select row lo via sublane one-hot reduce -> [1, 8S]
                     val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
                 out_c = val[:, 0:S]
@@ -338,6 +350,7 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
 def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
+    prec = _mxu_precision(mxu_dtype)
 
     def kernel(wob_ref, xyz_ref, g_ref, *out_refs):
         b = pl.program_id(0)
@@ -365,13 +378,13 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
                     Ac = jnp.where(hrow == hi, coef, 0.0).astype(mxu_dtype)  # [64, 8S]
                     gw_t = jax.lax.dot_general(
                         Bt, Ac, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.float32, precision=prec,
                     )  # [128, 64]
                 else:
                     Bt = jnp.where(selm, coef, 0.0).astype(mxu_dtype)  # [128, 8S]
                     gw_t = jax.lax.dot_general(
                         Bt, At, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.float32, precision=prec,
                     )  # [128, 64] = grad window (transposed layout)
 
                 @pl.when(first)

@@ -229,13 +229,27 @@ def _corner_rows(
     return jnp.stack(rows), jnp.stack(ws)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def window_encode_ref(x01_cf: jax.Array, table: jax.Array, spec: WindowSpec) -> jax.Array:
+@partial(jax.jit, static_argnames=("spec", "emulate_bf16"))
+def window_encode_ref(
+    x01_cf: jax.Array,
+    table: jax.Array,
+    spec: WindowSpec,
+    emulate_bf16: bool = False,
+) -> jax.Array:
     """Pure-XLA reference of the windowed encoding semantics.
 
     x01_cf: [3, B] in [0,1]; table: [total_rows, C].  Returns [L*C, B]
     (level-major feature order, matching ops/hashgrid.py).  Differentiable by
     XLA autodiff — the golden for the Pallas kernel and the CPU fallback.
+
+    emulate_bf16=True reproduces the Pallas kernel's bf16-operand MXU pass
+    (the `mxu_f32=False` training default): table values and interpolation
+    weights round to bf16, products/accumulation stay f32 (bf16xbf16
+    products are exact in f32, so this emulation is bitwise-faithful up to
+    accumulation order).  Without it, checkpoints trained on-device deviate
+    ~1% per feature on other backends — the round-2 8 dB cross-backend eval
+    gap.  Mirrors the reference's fp16 table semantics under `-O`
+    (gridencoder supports fp16 embeddings, nerf/network.py fp16 path).
     """
     L, C = spec.num_levels, spec.level_dim
     B = x01_cf.shape[1]
@@ -249,5 +263,8 @@ def window_encode_ref(x01_cf: jax.Array, table: jax.Array, spec: WindowSpec) -> 
         grow = w_id[None, :] * WIN_ROWS + rows  # [8, B] global rows
         vals = jnp.take(table_t, grow.reshape(-1), axis=1)  # [C, 8B]
         vals = vals.reshape(C, 8, B)
+        if emulate_bf16:
+            vals = vals.astype(jnp.bfloat16).astype(jnp.float32)
+            ws = ws.astype(jnp.bfloat16).astype(jnp.float32)
         outs.append(jnp.sum(ws[None] * vals, axis=1))  # [C, B]
     return jnp.concatenate(outs, axis=0).astype(table.dtype)  # [(l,c) major, B]
