@@ -23,3 +23,16 @@ Layer map (mirrors the reference's de-facto layering, SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU lowers f32 matmuls at Precision.DEFAULT to a single bf16xbf16 MXU pass
+# (bit-identical to pre-rounding both operands to bf16) while CPU computes
+# true f32 — so every un-annotated f32 matmul/einsum (ray-direction rotation,
+# compositing, custom-VJP einsums) silently carried ~0.4% device-only error
+# and device-trained checkpoints evaluated ~7 dB lower on other backends.
+# Framework stance: f32 means f32 everywhere; the hot paths that want MXU
+# speed opt in EXPLICITLY (compute_dtype=bf16 MLPs, mxu_f32=False window
+# kernels with a bf16-emulating reference path).  The tiny geometry/composite
+# matmuls this default upgrades are nowhere near the step's critical path.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -146,8 +146,9 @@ def _make_bin_rank_kernel(BS: int):
             mask = keys == tid  # [64, BS] bool — int compare; Mosaic rejects
             onehot = mask.astype(jnp.bfloat16)  # bf16 cmpf ("Target does not
             cum = jnp.dot(                      # support this comparison")
-                onehot, lt, preferred_element_type=jnp.float32
-            )  # [64, BS] inclusive lane cumsum (LT[i, j] = 1 iff i <= j)
+                onehot, lt, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,  # bf16 ops: fp32
+            )  # [64, BS] inclusive lane cumsum    # contract is rejected
             own = jnp.sum(
                 jnp.where(mask, cum, 0.0), axis=0, keepdims=True
             )  # [1, BS] own-rank+1 (0 for pad slots)
@@ -156,6 +157,7 @@ def _make_bin_rank_kernel(BS: int):
             tot_ref[r : r + 1, :] = jax.lax.dot_general(
                 ones, onehot, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             ).astype(jnp.int32)  # [1, 64]
 
     return kernel
@@ -296,8 +298,11 @@ def _mxu_precision(mxu_dtype):
     mxu_f32=True silently rounded the table AND the interpolation weights to
     bf16, and checkpoints trained on-device deviated ~1% from the f32 golden
     path on other backends (the round-2 8 dB cross-backend eval gap).
-    HIGHEST forces true-f32 multi-pass accumulation."""
-    return jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
+    HIGHEST forces true-f32 multi-pass accumulation.  bf16 operands must say
+    DEFAULT *explicitly*: the package sets jax_default_matmul_precision to
+    float32, and Mosaic rejects an fp32 contract precision on bf16 vectors."""
+    return (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):

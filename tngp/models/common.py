@@ -58,6 +58,9 @@ class MLP(nn.Module):
             h = jnp.einsum(
                 "io,ib->ob", k.astype(self.compute_dtype), h,
                 preferred_element_type=self.compute_dtype,
+                # intentionally-bf16 MXU path: pin single-pass semantics so
+                # the package-wide float32 matmul default can't upcast it
+                precision=jax.lax.Precision.DEFAULT,
             )
             if i != self.num_layers - 1:
                 h = nn.relu(h)
