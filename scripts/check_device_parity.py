@@ -165,7 +165,8 @@ def main():
     ) * 1e-2}
     import glob
 
-    cands = sorted(glob.glob("/tmp/hard_*/checkpoints/*.npz"))
+    cands = sorted(glob.glob("/tmp/hard_*/checkpoints/*.npz"),
+                   key=os.path.getmtime)
     ckpt = cands[-1] if cands else ""
     if ckpt:
         print(f"# trained table: {ckpt}")
@@ -173,10 +174,16 @@ def main():
 
         with open(ckpt, "rb") as f:
             raw = serialization.msgpack_restore(f.read())  # template-free
+        want_shape = params["params"]["encoder"]["embeddings"].shape
         try:
-            tabs["trained"] = jnp.asarray(
-                raw["ema"]["params"]["encoder"]["embeddings"]
-            )
+            tab = jnp.asarray(raw["ema"]["params"]["encoder"]["embeddings"])
+            if tab.shape != want_shape:
+                # e.g. a golden-encoding A/B checkpoint ([rows, C] table) —
+                # window_encode_binned would crash on it outside any guard
+                print(f"# trained table skipped: shape {tab.shape} != "
+                      f"window layout {want_shape} (non-window encoding?)")
+            else:
+                tabs["trained"] = tab
         except Exception as e:
             print(f"# trained table unavailable ({type(e).__name__}: {e})")
 

@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="explicit checkpoint path (default: latest in "
                          "/tmp/hard_<tag>/checkpoints)")
+    ap.add_argument("--encoding", default="hashgrid_window",
+                    help="encoder the checkpoint was trained with (must match "
+                         "train_hard.py --encoding; a mismatch would silently "
+                         "keep random template embeddings)")
     args = ap.parse_args()
 
     ckpt = args.ckpt
@@ -67,14 +71,20 @@ def main():
                            images=images[n_val:].astype(np.float32))
 
     model = NGPNetwork(bound=1.0, compute_dtype=jnp.bfloat16,
-                       encoding="hashgrid_window")
+                       encoding=args.encoding)
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128,
                        min_near=0.05, compact_fraction=0.25,
                        density_thresh=10.0, march_dense=True)
     tc = TrainConfig(name=f"hard_{args.tag}", workspace=f"/tmp/xeval_{args.tag}",
                      iters=1, num_rays=4096, use_checkpoint="scratch")
     trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=val_ds)
-    trainer.load_checkpoint(ckpt)
+    rep = trainer.load_checkpoint(ckpt) or {}
+    bad = [it for kind in ("missing", "mismatched")
+           for it in rep.get(kind, []) if "encoder" in str(it)]
+    if bad:
+        print(f"FATAL: encoder params did not load (wrong --encoding for this "
+              f"checkpoint?): {bad}")
+        return 3
     psnr = float(trainer.evaluate(val_ds))
     print(f"backend={jax.default_backend()} ckpt={os.path.basename(ckpt)} "
           f"val PSNR {psnr:.2f} dB")

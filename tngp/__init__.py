@@ -35,4 +35,11 @@ import jax as _jax
 # speed opt in EXPLICITLY (compute_dtype=bf16 MLPs, mxu_f32=False window
 # kernels with a bf16-emulating reference path).  The tiny geometry/composite
 # matmuls this default upgrades are nowhere near the step's critical path.
-_jax.config.update("jax_default_matmul_precision", "float32")
+# NOTE: this mutates process-global JAX state — embedding applications that
+# want DEFAULT-precision matmuls for their own code can opt out with
+# TNGP_NO_GLOBAL_PRECISION=1 (tngp's own f32 correctness then rests on the
+# per-call annotations in the kernels/ops, which remain explicit).
+import os as _os
+
+if not _os.environ.get("TNGP_NO_GLOBAL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision", "float32")

@@ -58,9 +58,12 @@ class MLP(nn.Module):
             h = jnp.einsum(
                 "io,ib->ob", k.astype(self.compute_dtype), h,
                 preferred_element_type=self.compute_dtype,
-                # intentionally-bf16 MXU path: pin single-pass semantics so
-                # the package-wide float32 matmul default can't upcast it
-                precision=jax.lax.Precision.DEFAULT,
+                # bf16 compute opts into single-pass MXU semantics; f32
+                # compute must NOT pin DEFAULT (TPU would silently round
+                # operands to bf16 — the device-only portability failure the
+                # package-wide float32 matmul default exists to prevent)
+                precision=(jax.lax.Precision.DEFAULT
+                           if self.compute_dtype == jnp.bfloat16 else None),
             )
             if i != self.num_layers - 1:
                 h = nn.relu(h)

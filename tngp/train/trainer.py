@@ -659,3 +659,4 @@ class Trainer:
         if best is not None:
             self.stats["best_result"] = best
         self.log(f"[load_checkpoint] {path} (epoch {self.epoch}, step {self.global_step})")
+        return rep
