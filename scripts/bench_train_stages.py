@@ -83,7 +83,7 @@ def main():
     opt_state = tx.init(params)
 
     # densify the grid so the workload is realistic (a few train steps)
-    def loss_fn(p, k, bitfield, group):
+    def loss_fn(p, k, bitfield, dgrid, group):
         k1, k2, k3 = jax.random.split(k, 3)
         idx = jax.random.randint(k1, (), 0, nF)
         r = sample_rays(k2, poses[idx], intr, H, W, N_RAYS)
@@ -91,18 +91,24 @@ def main():
         c = cfg if group == 0 else RenderConfig(
             bound=1.0, grid_size=128, max_steps=512, K=128, min_near=0.05,
             compact_fraction=0.25, density_thresh=1.0, march_group=group)
-        out = render_rays_train(field, p, r["rays_o"], r["rays_d"], bitfield, c, key=k3)
+        out = render_rays_train(field, p, r["rays_o"], r["rays_d"], bitfield, c,
+                                key=k3, dilated_grid=dgrid)
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
         rm = out["ray_mask"].astype(jnp.float32)
         return (per_ray * rm).sum() / jnp.maximum(rm.sum(), 1.0)
 
+    from tngp.render import dilated_chunk_grid
+
+    dgrid_fn = jax.jit(lambda bf: dilated_chunk_grid(bf, cfg))
+
     @jax.jit
-    def train_step(p, o, k, bitfield):
-        l, g = jax.value_and_grad(loss_fn)(p, k, bitfield, 0)
+    def train_step(p, o, k, bitfield, dgrid):
+        l, g = jax.value_and_grad(loss_fn)(p, k, bitfield, dgrid, 0)
         upd, o2 = tx.update(g, o, p)
         return optax.apply_updates(p, upd), o2, l
 
     k = jax.random.PRNGKey(1)
+    dgrid = dgrid_fn(grid.bitfield)
     for step in range(48):
         if step % 16 == 0:
             k, kk = jax.random.split(k)
@@ -110,8 +116,10 @@ def main():
                 grid, params, kk, density_fn=field.density, bound=cfg.bound,
                 grid_size=cfg.grid_size, density_thresh=cfg.density_thresh,
                 full=(step < 32))
+            dgrid = dgrid_fn(grid.bitfield)
         k, kk = jax.random.split(k)
-        params, opt_state, loss = train_step(params, opt_state, kk, grid.bitfield)
+        params, opt_state, loss = train_step(params, opt_state, kk,
+                                             grid.bitfield, dgrid)
     jax.block_until_ready(loss)
     print("warmed up; profiling...")
     bitfield = grid.bitfield
@@ -125,7 +133,7 @@ def main():
     # --- full step ---------------------------------------------------------
     def full_step(salt):
         k = jax.random.fold_in(jax.random.PRNGKey(3), salt.astype(jnp.int32))
-        p2, o2, l = train_step(params, opt_state, k, bitfield)
+        p2, o2, l = train_step(params, opt_state, k, bitfield, dgrid)
         return l, salt + 1.0
 
     print(f"full train step:        {timeit(full_step)*1e3:8.2f} ms")
@@ -199,17 +207,70 @@ def main():
 
     print(f"+ stream composite:     {timeit(s_composite)*1e3:8.2f} ms")
 
+    # --- chunked-path cumulative stages (the actual round-2c hot path) -----
+    from tngp.ops.march import march_rays_chunked
+
+    def chunk_march(salt):
+        noise = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(5), salt.astype(jnp.int32)),
+            (N_RAYS,))
+        return march_rays_chunked(
+            rays_o, rays_d, nears, fars, bitfield, noise=noise,
+            M_budget=M_budget, G=8, dilated_grid=dgrid, **mkw)
+
+    @jax.jit
+    def c_march(salt):
+        cm = chunk_march(salt)
+        return (cm.sel, cm.sel_valid, cm.t0, cm.ray_mask, cm.num_points), salt + 1.0
+
+    print(f"chunked march only:     {timeit(c_march)*1e3:8.2f} ms")
+
+    @jax.jit
+    def c_ladder(salt):
+        cm = chunk_march(salt)
+        ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+            cm.sel, rays_o, rays_d, cm.t0, **mkw)
+        return (x_c, d_c, dt_c, t_rel, ray_id, cm.sel_valid), salt + 1.0
+
+    print(f"+ ladder samples:       {timeit(c_ladder)*1e3:8.2f} ms")
+
+    @jax.jit
+    def c_field(salt):
+        (x_c, d_c, dt_c, t_rel, ray_id, sv), _ = c_ladder.__wrapped__(salt)
+        sig, rgb = field.sigma_rgb(params, x_c, d_c)
+        return (sig, rgb, dt_c, t_rel, ray_id, sv), salt + 1.0
+
+    print(f"+ field fwd:            {timeit(c_field)*1e3:8.2f} ms")
+
+    @jax.jit
+    def c_composite(salt):
+        (sig, rgb, dt_c, t_rel, ray_id, sv), _ = c_field.__wrapped__(salt)
+        ws, depth, image = composite_stream(
+            sig.astype(jnp.float32), rgb, dt_c, None, ray_id,
+            sv, N_RAYS, cfg.T_thresh, t_cum=t_rel)
+        return (ws, depth, image), salt + 1.0
+
+    print(f"+ stream composite:     {timeit(c_composite)*1e3:8.2f} ms")
+
     # --- loss fwd+bwd only (no optimizer) and optimizer-only ----------------
+    @jax.jit
+    def s_fwd_only(salt):
+        k = jax.random.fold_in(jax.random.PRNGKey(3), salt.astype(jnp.int32))
+        l = loss_fn(params, k, bitfield, dgrid, 0)
+        return l, salt + 1.0
+
+    print(f"loss fwd only:          {timeit(s_fwd_only)*1e3:8.2f} ms")
+
     @jax.jit
     def s_fwd_bwd(salt):
         k = jax.random.fold_in(jax.random.PRNGKey(3), salt.astype(jnp.int32))
-        l, g = jax.value_and_grad(loss_fn)(params, k, bitfield, 0)
+        l, g = jax.value_and_grad(loss_fn)(params, k, bitfield, dgrid, 0)
         return (l, g), salt + 1.0
 
     print(f"loss fwd+bwd only:      {timeit(s_fwd_bwd)*1e3:8.2f} ms")
 
     grads0 = jax.jit(
-        lambda: jax.grad(loss_fn)(params, jax.random.PRNGKey(3), bitfield, 0)
+        lambda: jax.grad(loss_fn)(params, jax.random.PRNGKey(3), bitfield, dgrid, 0)
     )()
     jax.block_until_ready(grads0)
 

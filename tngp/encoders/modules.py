@@ -92,13 +92,19 @@ class WindowGridEncoder(nn.Module):
         return out.T.reshape(*prefix, self.output_dim)
 
     def cf(self, x_cf: jax.Array, bound: float = 1.0) -> jax.Array:
+        import os
+
         x01 = (x_cf + bound) / (2.0 * bound)
-        if jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        # TNGP_WIN_FORCE_BINNED=1 runs the binned path in interpret mode off
+        # TPU — lets the CPU mesh tests / dryrun exercise the actual hot-path
+        # program (binning, window DMA indexing, custom VJP) under shard_map
+        if on_tpu or os.environ.get("TNGP_WIN_FORCE_BINNED"):
             from ..kernels.window_encoder import window_encode_binned
 
             return window_encode_binned(
                 x01, self.embeddings, self.spec, self.block, self.mxu_f32,
-                False, self.swap_select,
+                not on_tpu, self.swap_select,
             )
         # off-TPU fallback reproduces the device kernel's numerics so
         # checkpoints are portable across backends (see window_encode_ref)

@@ -1,5 +1,6 @@
 from .distributed import global_mesh, init_distributed, is_primary
 from .mesh import (
+    data_parallel_value_and_grad,
     make_mesh,
     param_sharding_rules,
     ray_sharding,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "data_parallel_value_and_grad",
     "global_mesh",
     "init_distributed",
     "is_primary",
