@@ -94,6 +94,9 @@ def test_trainer_adaptive_budget(tmp_path):
     tr = Trainer(model, ds, cfg, tc)
     assert tr._tier_fracs is not None and tr._tier == 2
     assert tr._tier_M == sorted(tr._tier_M)
+    # overdrive tier above the configured fraction (reference mean_count
+    # grows with demand — the error-map interaction fix)
+    assert len(tr._tier_fracs) == 4 and tr._tier_fracs[3] > cfg.compact_fraction
 
     # mechanics: drop to the smallest tier, then climb on ray drops
     tr._adapt_tier(demand=10.0, kept_frac=1.0)
@@ -102,6 +105,18 @@ def test_trainer_adaptive_budget(tmp_path):
     assert tr._tier == 0
     tr._adapt_tier(demand=10.0, kept_frac=0.5)
     assert tr._tier == 1
+    # sustained drops climb through the configured fraction into overdrive
+    tr._adapt_tier(demand=1e9, kept_frac=0.5)
+    tr._adapt_tier(demand=1e9, kept_frac=0.5)
+    assert tr._tier == 3
+    # overdrive step trains without error
+    l_over = tr.train_one_epoch(2)
+    assert np.isfinite(l_over)
+    # and falls back once demand clears
+    tr._adapt_tier(demand=10.0, kept_frac=1.0)
+    assert tr._tier == 2
+    tr._tier = 0
+    tr._train_step = tr._tier_steps[0]
     # the switched-to step function trains without error and loss is finite
     l0 = tr.train_one_epoch(18)
     assert np.isfinite(l0)

@@ -61,6 +61,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--no_adaptive_budget", action="store_true",
                    help="disable the demand-adapted budget-tier ladder "
                         "(reference mean_count semantics; train/trainer.py)")
+    p.add_argument("--no_adaptive_overdrive", action="store_true",
+                   help="forbid the tier ladder from growing the budget "
+                        "ABOVE compact_fraction when rays get dropped "
+                        "(reference mean_count grows with demand)")
     p.add_argument("--profile", type=str, default="",
                    help="directory: capture a jax.profiler trace of the "
                         "first epoch (TensorBoard-viewable)")
@@ -148,6 +152,7 @@ def build_configs(opt) -> tuple[RenderConfig, TrainConfig]:
         clip_model_path=getattr(opt, "clip_model_path", "openai/clip-vit-base-patch16"),
         profile_dir=getattr(opt, "profile", ""),
         adaptive_budget=not getattr(opt, "no_adaptive_budget", False),
+        adaptive_overdrive=not getattr(opt, "no_adaptive_overdrive", False),
     )
     return cfg, tc
 

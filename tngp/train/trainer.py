@@ -167,8 +167,19 @@ class Trainer:
         ):
             f = cfg.compact_fraction
             self._tier_fracs = [f / 4.0, f / 2.0, f]
-            self._tier_steps = {len(self._tier_fracs) - 1: self._train_step}
-            self._tier = len(self._tier_fracs) - 1  # start at the configured max
+            # overdrive tier ABOVE the configured fraction: the reference's
+            # mean_count budget GROWS with demand (raymarching.py:200-232) —
+            # error-map sampling concentrates rays on-object and raises
+            # demand past the configured budget, and without headroom half
+            # the rays get budget-dropped every step (the round-2 −1.6 dB
+            # at 30K).  The step is slower at 2f, engaged only while rays
+            # are actually being dropped (reference drops 97 -> 50 it/s
+            # with error_map for the same reason, readme.md:212).
+            f_over = min(2.0 * f, 0.9)
+            if tc.adaptive_overdrive and f_over > f:
+                self._tier_fracs.append(f_over)
+            self._tier = 2  # start at the configured fraction
+            self._tier_steps = {self._tier: self._train_step}
             self._tier_M = [
                 max(128, -(-int(tc.num_rays * cfg.K * tf) // 128) * 128)
                 for tf in self._tier_fracs

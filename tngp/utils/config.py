@@ -45,3 +45,8 @@ class TrainConfig:
     # and back up when rays start getting budget-dropped.  Grid-marching NGP
     # trainer only (march_dense path).
     adaptive_budget: bool = True
+    # let the tier ladder extend ABOVE the configured compact_fraction (to
+    # 2x, capped at 0.9) when rays are being budget-dropped — reference
+    # parity: mean_count grows with demand, which is what makes --error_map
+    # GAIN quality there (readme.md:212) instead of dropping half the rays
+    adaptive_overdrive: bool = True
