@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--compact_fraction", type=float, default=0.25)
+    ap.add_argument("--eval_budget", type=float, default=0.75,
+                    help="first-pass sample budget as a fraction of N*K "
+                         "(trained-scene demand is ~68 samples/ray mean, "
+                         "p99 286 — the default 0.75*128=96/ray mostly "
+                         "avoids residual rounds; smaller budgets trade "
+                         "rounds for a cheaper first pass)")
     args = ap.parse_args()
 
     if not os.path.exists(CACHE):
@@ -66,7 +72,8 @@ def main():
                        encoding="hashgrid_window")
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128,
                        min_near=0.05, compact_fraction=args.compact_fraction,
-                       density_thresh=10.0, march_dense=True)
+                       density_thresh=10.0, march_dense=True,
+                       eval_budget=args.eval_budget)
     tc = TrainConfig(name=os.path.basename(args.workspace),
                      workspace=args.workspace, use_checkpoint="latest")
     trainer = Trainer(model, ds, cfg, tc)

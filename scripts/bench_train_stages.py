@@ -252,6 +252,38 @@ def main():
 
     print(f"+ stream composite:     {timeit(c_composite)*1e3:8.2f} ms")
 
+    # --- backward attribution: cumulative value_and_grad stages -------------
+    @jax.jit
+    def c_field_vag(salt):
+        def scalar_of_field(p):
+            cm = chunk_march(salt)
+            ray_id2, x_c, d_c, dt2, tr2 = ladder_samples(
+                cm.sel, rays_o, rays_d, cm.t0, **mkw)
+            s2, r2 = field.sigma_rgb(p, x_c, d_c)
+            return jnp.sum(s2 * dt2) + jnp.sum(r2 * r2)
+
+        l, g = jax.value_and_grad(scalar_of_field)(params)
+        return (l, g), salt + 1.0
+
+    print(f"march+field fwd+bwd:    {timeit(c_field_vag)*1e3:8.2f} ms")
+
+    @jax.jit
+    def c_comp_vag(salt):
+        def scalar_of_comp(p):
+            cm = chunk_march(salt)
+            ray_id, x_c, d_c, dt_c, t_rel = ladder_samples(
+                cm.sel, rays_o, rays_d, cm.t0, **mkw)
+            sig, rgb = field.sigma_rgb(p, x_c, d_c)
+            ws, depth, image = composite_stream(
+                sig.astype(jnp.float32), rgb, dt_c, None, ray_id,
+                cm.sel_valid, N_RAYS, cfg.T_thresh, t_cum=t_rel)
+            return jnp.sum(image * image) + jnp.sum(ws)
+
+        l, g = jax.value_and_grad(scalar_of_comp)(params)
+        return (l, g), salt + 1.0
+
+    print(f"+composite fwd+bwd:     {timeit(c_comp_vag)*1e3:8.2f} ms")
+
     # --- loss fwd+bwd only (no optimizer) and optimizer-only ----------------
     @jax.jit
     def s_fwd_only(salt):

@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--encoding", type=str, default="hashgrid_window",
                     help="hashgrid_window (TPU kernels) | hashgrid (golden) — "
                          "the A/B isolates device-kernel effects on quality")
+    ap.add_argument("--no_overdrive", action="store_true",
+                    help="disable the above-configured-budget tier (A/B)")
     args = ap.parse_args()
     tag = args.tag or ("em" if args.error_map else "base")
 
@@ -84,6 +86,7 @@ def main():
         name=f"hard_{tag}", workspace=f"/tmp/hard_{tag}", iters=args.iters,
         num_rays=4096, steps_per_epoch=500, eval_interval=5,
         error_map=args.error_map, use_checkpoint="scratch",
+        adaptive_overdrive=not args.no_overdrive,
     )
     trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=val_ds)
 

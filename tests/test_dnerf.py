@@ -85,6 +85,37 @@ def test_dnerf_time_grid_and_render():
     assert any(float(jnp.abs(l).sum()) > 0 for l in jax.tree_util.tree_leaves(g))
 
 
+def test_dnerf_window_encoder_deform_grads():
+    """D-NeRF on the fast window encoder: deform-net grads must flow through
+    the canonical encode at x+Δx (input_grads=True derivative passes) and be
+    comparable in magnitude to the golden tiledgrid path's."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (64, 3), minval=-0.9, maxval=0.9)
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    def deform_grad_norm(encoding):
+        model = DNeRFNetwork(bound=1.0, encoding=encoding, num_layers_deform=2,
+                             hidden_dim_deform=32)
+        params = model.init(jax.random.PRNGKey(1), x, d, jnp.float32(0.5))
+
+        def loss(p):
+            s, rgb, _ = model.apply(p, x, d, jnp.float32(0.3))
+            return jnp.mean(s) + jnp.mean(rgb)
+
+        g = jax.grad(loss)(params)
+        leaves = {
+            "/".join(str(k) for k in path): float(jnp.abs(leaf).sum())
+            for path, leaf in jax.tree_util.tree_leaves_with_path(g)
+        }
+        return sum(v for k, v in leaves.items() if "deform_net" in k)
+
+    g_win = deform_grad_norm("hashgrid_window")
+    g_gold = deform_grad_norm("tiledgrid")
+    assert g_win > 0.0, "deform grads must flow through the window encoder"
+    # same order of magnitude (different tables -> not equal)
+    assert g_win > g_gold * 1e-3
+
+
 def test_dnerf_basis_variant():
     from tngp.models import DNeRFBasisNetwork
 

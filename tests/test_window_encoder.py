@@ -217,6 +217,64 @@ def test_binned_backward_matches_ref_grad():
     )
 
 
+def test_binned_input_grads_match_ref():
+    """input_grads=True: d(loss)/d(x01) from the binned path's
+    derivative-weight forward passes == XLA autodiff through the reference
+    (the gridencoder.cu dy_dx semantics, :196-241)."""
+    spec = small_spec(num_levels=4)
+    rng = np.random.default_rng(7)
+    M = 160
+    x = jnp.asarray(rng.uniform(0.01, 0.99, size=(3, M)).astype(np.float32))
+    table = jnp.asarray(
+        rng.normal(size=(spec.total_rows, spec.level_dim)).astype(np.float32)
+    )
+    gout = jnp.asarray(rng.normal(size=(spec.output_dim, M)).astype(np.float32))
+
+    def loss_binned(xq, t):
+        return jnp.sum(
+            window_encode_binned(
+                xq, window_view(t, spec), spec, 64, True, True, False, True
+            ) * gout
+        )
+
+    def loss_ref(xq, t):
+        return jnp.sum(window_encode_ref(xq, t, spec) * gout)
+
+    gx_b, gt_b = jax.grad(loss_binned, argnums=(0, 1))(x, table)
+    gx_r, gt_r = jax.grad(loss_ref, argnums=(0, 1))(x, table)
+    # table grads unchanged by the input-grads option
+    np.testing.assert_allclose(np.asarray(gt_b), np.asarray(gt_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_b), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_binned_input_grads_smoothstep():
+    """Smoothstep interpolation adds the 6f(1-f) chain factor to the
+    derivative weights."""
+    spec = small_spec(num_levels=3, interpolation="smoothstep")
+    rng = np.random.default_rng(11)
+    M = 96
+    x = jnp.asarray(rng.uniform(0.01, 0.99, size=(3, M)).astype(np.float32))
+    table = jnp.asarray(
+        rng.normal(size=(spec.total_rows, spec.level_dim)).astype(np.float32)
+    )
+    gout = jnp.asarray(rng.normal(size=(spec.output_dim, M)).astype(np.float32))
+
+    gx_b = jax.grad(
+        lambda xq: jnp.sum(
+            window_encode_binned(
+                xq, window_view(table, spec), spec, 64, True, True, False, True
+            ) * gout
+        )
+    )(x)
+    gx_r = jax.grad(
+        lambda xq: jnp.sum(window_encode_ref(xq, table, spec) * gout)
+    )(x)
+    np.testing.assert_allclose(np.asarray(gx_b), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_ngp_model_with_window_backend():
     """NGPNetwork(encoding='hashgrid_window') trains end-to-end on CPU (ref
     path) — forward finite, table grads flow."""

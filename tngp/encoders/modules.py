@@ -72,6 +72,10 @@ class WindowGridEncoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     block: int = 512
     mxu_f32: bool = False  # bf16 matmuls by default on the hot path
+    # backprop into positions (3 derivative-weight fwd passes in the VJP) —
+    # required when the encoder input is itself a network output, e.g.
+    # D-NeRF's canonical encode at x+Δx (dnerf/network.py:123-165)
+    input_grads: bool = False
     # contract the one-hot matmuls over lanes (K=128) and reduce over the 64
     # hi rows instead of the reverse — ~30% less VPU select work per level
     # (see kernels/window_encoder.py); flag until measured on-device
@@ -104,7 +108,7 @@ class WindowGridEncoder(nn.Module):
 
             return window_encode_binned(
                 x01, self.embeddings, self.spec, self.block, self.mxu_f32,
-                not on_tpu, self.swap_select,
+                not on_tpu, self.swap_select, self.input_grads,
             )
         # off-TPU fallback reproduces the device kernel's numerics so
         # checkpoints are portable across backends (see window_encode_ref)
@@ -195,6 +199,9 @@ def get_encoder(
             spec=wspec,
             # kernel-orientation A/B knob (see WindowGridEncoder.swap_select)
             swap_select=os.environ.get("TNGP_WIN_SWAP", "0") == "1",
+            # position backprop (D-NeRF deform path); harmless elsewhere but
+            # costs 3 extra fwd passes in the VJP, so callers opt in
+            input_grads=bool(kwargs.get("input_grads", False)),
         )
         return enc, wspec.output_dim
     if encoding in ("hashgrid", "tiledgrid"):

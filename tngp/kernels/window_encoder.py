@@ -32,9 +32,13 @@ Layout rule: every sample-major array is row-major `[M_pad, *]` (samples on
 sublanes) because the onehot matmuls need samples as matrix rows — this keeps
 the kernels free of lane<->sublane relayouts.
 
-Input gradients (dy_dx) are not computed by this path — positions are
-non-differentiable in the NGP training paths that use it (D-NeRF's deform
-backprop stays on the golden encoder, ops/hashgrid.py).
+Input gradients (dy_dx): off by default (NGP training never differentiates
+positions), opt-in via `input_grads=True` — the backward runs three extra
+forward passes whose interpolation weights are replaced by their per-dim
+derivatives (the reference caches dy_dx in the forward instead,
+gridencoder.cu:196-241; recomputing is cheaper than materializing a
+[M, L*C, 3] tensor).  This is what lets D-NeRF's deform backprop ride the
+fast encoder.
 """
 
 from __future__ import annotations
@@ -254,11 +258,19 @@ def bin_samples(x01_cf: jax.Array, block: int = DEFAULT_BLOCK):
 # ---------------------------------------------------------------------------
 
 
-def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int):
+def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int,
+                           deriv: int = -1):
     """In-kernel geometry for one (static) level from an `[8, S]` xyz block
     (rows x,y,z,valid — samples on LANES).  Returns (hi [1,8S] i32,
     lo [1,8S] i32, w [1,8S] f32) corner-major along lanes (col = corner*S +
     sample), weights folded with the validity row.
+
+    deriv in {0,1,2}: replace the interpolation weight with its derivative
+    wrt x01[deriv] (the trilinear weight is piecewise-linear per dim, so the
+    derivative is the same corner product with dim-`deriv`'s factor replaced
+    by ±scale; smoothstep adds the 6f(1-f) chain factor) — a forward pass
+    with deriv weights computes dfeat/dx01[deriv], the input-gradient path
+    (gridencoder.cu dy_dx semantics, :196-241).
 
     Everything here is a [1, S]-row op: full lane utilization, no narrow
     column intermediates (a [S, 1] op pays a 128x lane-padding tax)."""
@@ -269,9 +281,13 @@ def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int):
     pos = [xyz_blk[d : d + 1, :] * scale + shift for d in range(3)]  # [1,S]
     vrow = xyz_blk[3:4, :]
     pg = [jnp.floor(p) for p in pos]
-    frac = [p - g for p, g in zip(pos, pg)]
+    frac_raw = [p - g for p, g in zip(pos, pg)]
     if spec.interpolation == "smoothstep":
-        frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+        frac = [f * f * (3.0 - 2.0 * f) for f in frac_raw]
+        dfrac = [6.0 * f * (1.0 - f) for f in frac_raw]  # ds/dpos
+    else:
+        frac = frac_raw
+        dfrac = None
     pgi = [g.astype(jnp.int32) for g in pg]
     his, los, ws = [], [], []
     for k in range(8):
@@ -284,7 +300,19 @@ def _level_corner_geometry(spec: WindowSpec, level: int, xyz_blk, S: int):
         los.append(row & (WIN_LANES - 1))
         w = vrow
         for d in range(3):
-            w = w * (frac[d] if (k >> d) & 1 else 1.0 - frac[d])
+            bit = (k >> d) & 1
+            if d == deriv:
+                term = 1.0 if bit else -1.0
+                if dfrac is not None:
+                    w = w * (term * dfrac[d])
+                elif bit:
+                    pass  # * +1
+                else:
+                    w = -w
+            else:
+                w = w * (frac[d] if bit else 1.0 - frac[d])
+        if deriv >= 0:
+            w = w * scale  # dpos/dx01
         ws.append(w)
     hi = jnp.concatenate(his, axis=1)  # [1, 8S]
     lo = jnp.concatenate(los, axis=1)
@@ -305,7 +333,8 @@ def _mxu_precision(mxu_dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
+def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False,
+                     deriv: int = -1):
     L, C = spec.num_levels, spec.level_dim
     R = 8 * S
     prec = _mxu_precision(mxu_dtype)
@@ -317,7 +346,7 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
         srow = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, R), 0)
         rows = []
         for l in range(L):
-            hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
+            hi, lo, w = _level_corner_geometry(spec, l, xyz, S, deriv=deriv)
             if swap_select:
                 # contract over LANES on the MXU (K=128, full array depth)
                 # and one-hot-reduce over the 64 hi rows — 33% less VPU
@@ -423,7 +452,7 @@ def _level_views(spec: WindowSpec, table_win: jax.Array):
 
 
 def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret,
-                swap_select=False):
+                swap_select=False, deriv: int = -1):
     L, C = spec.num_levels, spec.level_dim
     M_pad = xyz8.shape[1]
     NB = M_pad // block
@@ -446,7 +475,7 @@ def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret,
         ),
     )
     return pl.pallas_call(
-        _make_fwd_kernel(spec, block, mxu_dtype, swap_select),
+        _make_fwd_kernel(spec, block, mxu_dtype, swap_select, deriv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L * C, M_pad), jnp.float32),
         interpret=interpret,
@@ -500,7 +529,7 @@ def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret,
     return jnp.concatenate(out, axis=0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def window_encode_binned(
     x01_cf: jax.Array,
     table_win: jax.Array,
@@ -509,22 +538,27 @@ def window_encode_binned(
     mxu_f32: bool = True,
     interpret: bool = False,
     swap_select: bool = False,
+    input_grads: bool = False,
 ) -> jax.Array:
     """Windowed grid encode via the binned Pallas path.
 
     x01_cf: [3, M] in [0,1]; table_win: [NW, C, 128, 64] window-layout
     parameter (window_view of the canonical [total_rows, C]).  Returns
     [L*C, M] f32 features (level-major).  Table gradients flow (in window
-    layout); input gradients are zero (documented non-goal of this path).
+    layout).  input_grads=True additionally backprops into x01 (the
+    reference's cached-dy_dx path, gridencoder.cu:196-241) via three
+    derivative-weight forward passes — needed by D-NeRF's deform backprop;
+    off by default because the NGP hot paths never differentiate positions.
     """
     out, _ = _binned_fwd(
-        x01_cf, table_win, spec, block, mxu_f32, interpret, swap_select
+        x01_cf, table_win, spec, block, mxu_f32, interpret, swap_select,
+        input_grads,
     )
     return out
 
 
 def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret,
-                swap_select=False):
+                swap_select=False, input_grads=False):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
     M = x01_cf.shape[1]
     dest, tob = bin_dest_pallas(x01_cf, block=block, interpret=interpret)
@@ -550,14 +584,16 @@ def _binned_fwd(x01_cf, table_win, spec, block, mxu_f32, interpret,
         interpret=interpret, swap_select=swap_select,
     )  # [LC, M_pad]
     feats = jnp.take(feats_sorted.T, dest, axis=0).T  # [LC, M] unsort
-    return feats, (xyz8, dest, wob, M)
+    res = (xyz8, dest, wob, M, table_win if input_grads else None)
+    return feats, res
 
 
-def _binned_bwd(spec, block, mxu_f32, interpret, swap_select, res, g):
+def _binned_bwd(spec, block, mxu_f32, interpret, swap_select, input_grads,
+                res, g):
     mxu_dtype = jnp.float32 if mxu_f32 else jnp.bfloat16
     from .scatter import scatter_add_auto
 
-    xyz8, dest, wob, M = res
+    xyz8, dest, wob, M, table_win = res
     M_pad = xyz8.shape[1]
     # sort the cotangents the same way the inputs were sorted
     g_sorted = scatter_add_auto(dest, g.astype(jnp.float32).T, M_pad).T
@@ -565,7 +601,22 @@ def _binned_bwd(spec, block, mxu_f32, interpret, swap_select, res, g):
         spec, xyz8, wob, g_sorted, block=block, mxu_dtype=mxu_dtype,
         interpret=interpret, swap_select=swap_select,
     )  # [NW, C, 128, 64]
-    gx = jnp.zeros((3, M), jnp.float32)
+    if not input_grads:
+        return jnp.zeros((3, M), jnp.float32), gtab_win
+    # input gradients: dfeat/dx01[j] is the SAME one-hot matmul program with
+    # dim-j's interpolation factor replaced by its derivative
+    # (_level_corner_geometry deriv=j); contract with the cotangents over
+    # the LC feature rows, then unsort
+    wins = _level_views(spec, table_win.astype(jnp.float32))
+    gx_rows = []
+    for j in range(3):
+        dj = _fwd_pallas(
+            spec, xyz8, wob, wins, block=block, mxu_dtype=mxu_dtype,
+            interpret=interpret, swap_select=swap_select, deriv=j,
+        )  # [LC, M_pad]
+        gx_rows.append(jnp.sum(g_sorted * dj, axis=0))  # [M_pad]
+    gx_sorted = jnp.stack(gx_rows, axis=0)  # [3, M_pad]
+    gx = jnp.take(gx_sorted.T, dest, axis=0).T  # [3, M]
     return gx, gtab_win
 
 

@@ -63,7 +63,11 @@ class DNeRFNetwork(nn.Module):
             num_layers=self.num_layers_deform, compute_dtype=self.compute_dtype,
         )
         self.encoder, self.in_dim = get_encoder(
-            self.encoding, desired_resolution=int(2048 * self.bound)
+            self.encoding, desired_resolution=int(2048 * self.bound),
+            # the canonical encode happens at x+Δx, so grads must flow back
+            # through positions into the deform net (dnerf/network.py:123-165)
+            # — the window encoder computes them via derivative-weight passes
+            input_grads=True,
         )
         self.sigma_net = MLP(
             hidden_dim=self.hidden_dim, output_dim=1 + self.geo_feat_dim,

@@ -92,7 +92,7 @@ def _chunked_density(density_fn, params, xyz_cf: jax.Array, chunk: int) -> jax.A
     jax.jit,
     static_argnames=(
         "density_fn", "bound", "grid_size", "density_thresh", "full",
-        "decay", "density_scale", "chunk",
+        "decay", "density_scale", "chunk", "partial_mode",
     ),
 )
 def update_density_grid(
@@ -108,10 +108,12 @@ def update_density_grid(
     decay: float = 0.95,
     density_scale: float = 1.0,
     chunk: int = 2**17,
+    partial_mode: str = "slab",
 ) -> OccupancyGrid:
     cascades = state.density_grid.shape[0]
     H3 = grid_size**3
     tmp = jnp.full_like(state.density_grid, -1.0)
+    eff_decay = decay
 
     if full:
         coords = _linear_coords(grid_size)  # [H^3, 3]
@@ -122,7 +124,32 @@ def update_density_grid(
             xyz_cf = _cells_to_world_cf(coords, cas, bound, grid_size, jitter)
             sig = _chunked_density(density_fn, params, xyz_cf, chunk) * density_scale
             tmp = tmp.at[cas].set(sig.astype(jnp.float32))
-    else:
+    elif partial_mode == "slab":
+        # rotating contiguous half-grid sweep: every cell is refreshed every
+        # 2 partial updates, with NO scatter (dynamic-roll + static slice)
+        # and NO occupied-cell inverse-CDF — the reference's random-quarter +
+        # occupied-quarter resample (renderer.py:549-574) costs a 524K-query
+        # searchsorted over a 2M CDF (~21 gather rounds) plus a 1M-element
+        # XLA set-scatter, together ~150 ms of the 186 ms partial update at
+        # bench shapes.  Refresh-rate accounting vs the reference: occupied
+        # cells there are re-queried ~every update, here every 2 — decay^2
+        # per refresh keeps the effective per-update EMA decay of live cells
+        # identical; empty cells refresh 2x FASTER (every 2 updates vs ~4).
+        N2 = H3 // 2
+        eff_decay = decay * decay
+        for cas in range(cascades):
+            key, jk = jax.random.split(key)
+            off = (state.iter_density.astype(jnp.int32) % 2) * N2
+            idx = (off + jnp.arange(N2, dtype=jnp.int32)) % H3
+            H = grid_size
+            coords = jnp.stack([idx // (H * H), (idx // H) % H, idx % H], axis=-1)
+            jitter = jax.random.uniform(jk, (N2, 3), minval=-1.0, maxval=1.0)
+            xyz_cf = _cells_to_world_cf(coords, cas, bound, grid_size, jitter.T)
+            sig = _chunked_density(density_fn, params, xyz_cf, chunk) * density_scale
+            row = jnp.roll(tmp[cas], -off)
+            row = row.at[:N2].set(sig.astype(jnp.float32))
+            tmp = tmp.at[cas].set(jnp.roll(row, off))
+    else:  # "resample": the reference's exact random+occupied scheme
         N = H3 // 4
         for cas in range(cascades):
             key, k1, k2, jk = jax.random.split(key, 4)
@@ -143,7 +170,9 @@ def update_density_grid(
             tmp = tmp.at[cas, idx].set(sig.astype(jnp.float32))
 
     valid = (state.density_grid >= 0) & (tmp >= 0)
-    grid = jnp.where(valid, jnp.maximum(state.density_grid * decay, tmp), state.density_grid)
+    grid = jnp.where(
+        valid, jnp.maximum(state.density_grid * eff_decay, tmp), state.density_grid
+    )
     mean_density = jnp.mean(jnp.maximum(grid, 0.0))
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = packbits(grid.reshape(-1), thresh)

@@ -386,6 +386,10 @@ class Trainer:
             density_fn=self.field.density, bound=cfg.bound, grid_size=cfg.grid_size,
             density_thresh=cfg.density_thresh,
             full=full, density_scale=cfg.density_scale,
+            # "slab" (default): scatter-free rotating half-grid sweep;
+            # TNGP_GRID_PARTIAL=resample restores the reference's exact
+            # random+occupied resample (A/B escape hatch)
+            partial_mode=os.environ.get("TNGP_GRID_PARTIAL", "slab"),
         )
         if self._dgrid is not None:
             self._dgrid = self._dgrid_fn(self.grid.bitfield)
