@@ -66,6 +66,10 @@ def main():
                          "the A/B isolates device-kernel effects on quality")
     ap.add_argument("--no_overdrive", action="store_true",
                     help="disable the above-configured-budget tier (A/B)")
+    ap.add_argument("--no_adaptive", action="store_true",
+                    help="disable the budget-tier ladder entirely (A/B)")
+    ap.add_argument("--march_chunk", type=int, default=8,
+                    help="0 = flat dense march (round-2b structure)")
     args = ap.parse_args()
     tag = args.tag or ("em" if args.error_map else "base")
 
@@ -81,11 +85,13 @@ def main():
                        encoding=args.encoding)
     cfg = RenderConfig(bound=1.0, grid_size=128, max_steps=512, K=128,
                        min_near=0.05, compact_fraction=args.compact_fraction,
-                       density_thresh=10.0, march_dense=True)
+                       density_thresh=10.0, march_dense=True,
+                       march_chunk=args.march_chunk)
     tc = TrainConfig(
         name=f"hard_{tag}", workspace=f"/tmp/hard_{tag}", iters=args.iters,
         num_rays=4096, steps_per_epoch=500, eval_interval=5,
         error_map=args.error_map, use_checkpoint="scratch",
+        adaptive_budget=not args.no_adaptive,
         adaptive_overdrive=not args.no_overdrive,
     )
     trainer = Trainer(model, train_ds, cfg, tc, valid_dataset=val_ds)
