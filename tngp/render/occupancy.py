@@ -108,7 +108,7 @@ def update_density_grid(
     decay: float = 0.95,
     density_scale: float = 1.0,
     chunk: int = 2**17,
-    partial_mode: str = "slab",
+    partial_mode: str = "resample",
 ) -> OccupancyGrid:
     cascades = state.density_grid.shape[0]
     H3 = grid_size**3

@@ -386,10 +386,12 @@ class Trainer:
             density_fn=self.field.density, bound=cfg.bound, grid_size=cfg.grid_size,
             density_thresh=cfg.density_thresh,
             full=full, density_scale=cfg.density_scale,
-            # "slab" (default): scatter-free rotating half-grid sweep;
-            # TNGP_GRID_PARTIAL=resample restores the reference's exact
-            # random+occupied resample (A/B escape hatch)
-            partial_mode=os.environ.get("TNGP_GRID_PARTIAL", "slab"),
+            # "resample" (default): the reference's exact random+occupied
+            # scheme.  TNGP_GRID_PARTIAL=slab selects the scatter-free
+            # rotating half-grid sweep — ~2x faster grid updates but the
+            # slower live-cell refresh measured −0.65 dB @2.5K on the hard
+            # scene (probeG 42.72 vs probeH 42.05), so speed runs opt in
+            partial_mode=os.environ.get("TNGP_GRID_PARTIAL", "resample"),
         )
         if self._dgrid is not None:
             self._dgrid = self._dgrid_fn(self.grid.bitfield)
