@@ -164,11 +164,15 @@ def main():
     log(f"grid marked {time.time()-t_start:.1f}s")
 
     # warmup: compile everything + densify grid so the workload is realistic;
-    # the budget tier settles to the scene's steady-state demand here
+    # the budget tier settles to the scene's steady-state demand here.
+    # 384 steps: at 64 the grid hasn't sparsified and the tier never leaves
+    # the max (round-2 verdict weak#5) — the reference's 97 it/s is itself a
+    # steady-state number over a 30K-step run
     k = jax.random.PRNGKey(1)
     npts = kept = None
     dgrid = dgrid_fn(grid.bitfield)
-    for step in range(64):
+    warm_steps = int(os.environ.get("TNGP_BENCH_WARMUP", "384"))
+    for step in range(warm_steps):
         if step % 16 == 0:
             if npts is not None:
                 t_new = adapt_tier(tier, npts, kept)
@@ -242,9 +246,22 @@ def main():
             f"({eval_rays_s / (H * W):.2f} frames/s at {H}x{W})")
     except Exception as e:  # never fail the metric on the sanity check
         log(f"eval render failed: {type(e).__name__}: {e}")
+        eval_rays_s = None
+        mse = None
 
     it_s = n_timed / dt
     rays_s = it_s * N_RAYS
+    # eval baseline: 7.8 test-it/s at 800x800 on V100 (readme.md:211).
+    # NOTE: this 128^2 blob-scene chunked render is NOT reference conditions —
+    # scripts/bench_eval.py (trained 256^2 hard scene at --res 800) is the
+    # recorded eval benchmark; these fields just keep eval visible per-round.
+    extra = {}
+    if eval_rays_s is not None:
+        extra = {
+            "eval_rays_per_s": round(eval_rays_s, 1),
+            "eval_vs_baseline": round(eval_rays_s / (7.8 * 800 * 800), 4),
+            "eval_psnr_db": round(-10 * np.log10(max(mse, 1e-12)), 2),
+        }
     print(
         json.dumps(
             {
@@ -252,6 +269,7 @@ def main():
                 "value": round(rays_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_s / BASELINE_RAYS_PER_S, 3),
+                **extra,
             }
         )
     )

@@ -146,6 +146,32 @@ def bwd_probe(spec, tab, x01):
     return frac
 
 
+def input_grad_probe(spec, tab, x01):
+    """Compiled input-gradient path (derivative-weight fwd passes, the D-NeRF
+    deform backprop) vs the ref's XLA autodiff, f32 kernels."""
+    c = jnp.arange(x01.shape[1] * spec.num_levels * spec.level_dim,
+                   dtype=jnp.float32)
+    cot = (c.reshape(spec.num_levels * spec.level_dim, -1) % 5.0) - 2.0
+
+    def loss_dev(x):
+        return jnp.vdot(
+            window_encode_binned(x, tab, spec, 512, True, False, False, True),
+            cot)
+
+    def loss_ref(x):
+        return jnp.vdot(window_encode_ref(x, window_unview(tab, spec), spec),
+                        cot)
+
+    gx_dev = np.asarray(jax.jit(jax.grad(loss_dev))(x01))
+    gx_ref = np.asarray(jax.jit(jax.grad(loss_ref))(x01))
+    d = np.abs(gx_dev - gx_ref)
+    s = np.abs(gx_ref) + 1e-4
+    frac = float((d / s > 0.05).mean())
+    print(f"[input grad] mean_abs {d.mean():.3e} max_abs {d.max():.3e} "
+          f"frac(rel>5%) {frac:.4f}")
+    return frac
+
+
 def main():
     dev = jax.default_backend()
     print(f"# backend: {dev}")
@@ -220,6 +246,10 @@ def main():
         fail = max(fail, bwd_probe(spec, tabs["random"], x01))
     except Exception as e:
         print(f"[bwd grad] failed: {type(e).__name__}: {e}")
+    try:
+        fail = max(fail, input_grad_probe(spec, tabs["random"], x01))
+    except Exception as e:
+        print(f"[input grad] failed: {type(e).__name__}: {e}")
     print(f"# PARITY {'FAIL' if fail > 1e-4 else 'OK'} (worst frac {fail:.4f})")
     return 1 if fail > 1e-4 else 0
 

@@ -162,3 +162,85 @@ def scatter_add_auto(idx: jax.Array, vals: jax.Array, num_rows: int) -> jax.Arra
     return jnp.zeros((num_rows, vals.shape[1]), jnp.float32).at[idx].add(
         vals.astype(jnp.float32)
     )
+
+
+# ---------------------------------------------------------------------------
+# lane-packed scalar SET-scatter: out.flat[idx] = val for 1-channel targets
+# ---------------------------------------------------------------------------
+#
+# A [cells] f32 target stored [cells//128, 128] keeps the WHOLE density grid
+# (128^3 = 8 MB) in one VMEM window — no masked multi-pass.  Each index
+# routes its value to lane idx%128 of row idx//128 with an in-kernel one-hot
+# select (Mosaic has no dynamic lane indexing).  Sequential loop ->
+# deterministic last-write-wins on duplicates (the reference's tmp_grid
+# writes race on duplicates instead, renderer.py:549-574).
+
+_SET_BLK = 8192
+
+
+def _scatter_set_kernel(idx_ref, val_ref, init_ref, out_ref):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, init_ref[0])
+
+    def body(j, _):
+        t = idx_ref[j]
+        r = t >> 7
+        lane = t & 127
+        row = out_ref[pl.ds(r, 1), :]
+        out_ref[pl.ds(r, 1), :] = jnp.where(lanes == lane, val_ref[j], row)
+        return 0
+
+    jax.lax.fori_loop(0, _SET_BLK, body, 0)
+
+
+@partial(jax.jit, static_argnames=("num_cells", "init"))
+def scatter_set_flat(
+    idx: jax.Array,  # [M] int32 flat cell indices in [0, num_cells), or -1
+    vals: jax.Array,  # [M] f32 values
+    num_cells: int,
+    init: float = -1.0,
+) -> jax.Array:
+    """out[idx[j]] = vals[j] over a flat f32 target, lane-packed.
+
+    Returns [num_cells] f32 initialized to `init`.  num_cells % 128 == 0.
+    Duplicates resolve to the LAST write (sequential loop — deterministic,
+    unlike the reference's racing tmp_grid writes).  idx == -1 skips (pad
+    slots) by routing to an overflow cell appended past the target."""
+    assert num_cells % 128 == 0
+    M = idx.shape[0]
+    pad = (-M) % _SET_BLK
+    idx = idx.astype(jnp.int32)
+    vals = vals.astype(jnp.float32)
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.float32)])
+    idx = jnp.where(idx < 0, num_cells, idx)  # overflow row absorbs skips
+    rows = num_cells // 128 + 1
+    out2 = pl.pallas_call(
+        _scatter_set_kernel,
+        grid=(idx.shape[0] // _SET_BLK,),
+        in_specs=[
+            pl.BlockSpec((_SET_BLK,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SET_BLK,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(idx, vals, jnp.full((1,), init, jnp.float32))
+    return out2.reshape(-1)[:num_cells]
+
+
+def scatter_set_flat_auto(idx, vals, num_cells, init=-1.0):
+    """Pallas on TPU; XLA scatter elsewhere (CPU tests).  NOTE: on duplicate
+    indices the XLA fallback's winner is formally undefined (in practice the
+    last update wins on the CPU backend, matching the kernel)."""
+    if jax.default_backend() == "tpu":
+        return scatter_set_flat(idx, vals, num_cells, init)
+    base = jnp.full((num_cells + 1,), jnp.float32(init))
+    safe = jnp.where(idx < 0, num_cells, idx.astype(jnp.int32))
+    return base.at[safe].set(vals.astype(jnp.float32))[:num_cells]
