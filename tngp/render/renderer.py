@@ -452,15 +452,26 @@ def _bucketed_stream_query(field, params, sel, sel_valid, rays_o, rays_d, t0,
 
         return run
 
+    def empty():
+        # sky-only chunk (image-ordered rays are spatially coherent, so at
+        # 800^2 whole 8-16K-ray chunks are frequently empty): skip the
+        # field/composite entirely
+        z = jnp.zeros((n_rays,), jnp.float32)
+        return z, z, jnp.zeros((n_rays, 3), jnp.float32)
+
     M_total = sel.shape[0]
     Mq1 = max(128, (M_total // 4 // 128) * 128)
     Mq2 = max(Mq1, (M_total // 2 // 128) * 128)
     if Mq2 >= M_total:
-        return pass_with(M_total)()
+        return jax.lax.cond(m_eff == 0, empty, pass_with(M_total))
     return jax.lax.cond(
-        m_eff <= Mq1,
-        pass_with(Mq1),
-        lambda: jax.lax.cond(m_eff <= Mq2, pass_with(Mq2), pass_with(M_total)),
+        m_eff == 0,
+        empty,
+        lambda: jax.lax.cond(
+            m_eff <= Mq1,
+            pass_with(Mq1),
+            lambda: jax.lax.cond(m_eff <= Mq2, pass_with(Mq2), pass_with(M_total)),
+        ),
     )
 
 
