@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30000)
     ap.add_argument("--compact_fraction", type=float, default=0.25)
     ap.add_argument("--tag", type=str, default=None)
+    ap.add_argument("--workspace", type=str, default=None,
+                    help="override the /tmp/hard_<tag> default (use a "
+                         "persistent dir when the checkpoint feeds later "
+                         "benches — /tmp does not survive round restarts)")
     ap.add_argument("--encoding", type=str, default="hashgrid_window",
                     help="hashgrid_window (TPU kernels) | hashgrid (golden) — "
                          "the A/B isolates device-kernel effects on quality")
@@ -88,7 +92,8 @@ def main():
                        density_thresh=10.0, march_dense=True,
                        march_chunk=args.march_chunk)
     tc = TrainConfig(
-        name=f"hard_{tag}", workspace=f"/tmp/hard_{tag}", iters=args.iters,
+        name=f"hard_{tag}", workspace=args.workspace or f"/tmp/hard_{tag}",
+        iters=args.iters,
         num_rays=4096, steps_per_epoch=500, eval_interval=5,
         error_map=args.error_map, use_checkpoint="scratch",
         adaptive_budget=not args.no_adaptive,

@@ -1,0 +1,187 @@
+"""Frame-level eval with a persistent alive set — the round-4 eval engine.
+
+Behavioral reference: torch-ngp `nerf/renderer.py:376-420` (run_cuda test
+branch): an iterative loop that compacts `n_alive` rays, marches each alive
+ray `n_step = max(min(N // n_alive, 8), 1)` samples, composites, and kills
+rays whose transmittance drops under `T_thresh` — the cost of every
+iteration is proportional to the number of rays still alive.
+
+The round-2/3 TPU eval approximated this with a PER-CHUNK `lax.while_loop`
+whose rounds ran at a fixed Na = chunk/4 slot count and a fixed Na*K march
+budget: a chunk with 3 surviving long-tail rays paid the same as one with
+2000, and long-tail rays chained ~10 rounds — measured 5.5K rays/s at the
+reference's 800^2 conditions, with the residual loop (not the first-pass
+field query) as the wall (PERF.md round 3).
+
+This module restructures eval around the reference's actual invariant:
+
+1. The FIRST PASS still runs per chunk (async-dispatched across the frame):
+   one chunked march + one bucketed stream field query per chunk is the
+   cheapest way to retire ~90% of all samples (renderer._eval_stream_pass).
+2. RESIDUAL ROUNDS become frame-global: alive rays from ALL chunks are
+   compacted into ONE buffer whose size is picked per round from a tier
+   ladder (host reads the alive count once per round — eval dispatch is not
+   latency-bound like training).  March budgets are sized to the tier, so a
+   round with 900 alive rays costs ~Na=1024 work instead of 79 chunks x
+   Na=2048 slots.  Rays advance their persistent resume-t; the loop ends
+   when every ray is dead (T < T_thresh or marched past `far`).
+
+Equivalence: each round reuses march_rays_chunked resume semantics and the
+bucketed stream query exactly as the per-chunk loop did (renderer.py
+res_body_stream); only the batching of rays into rounds changes, which the
+compositing math is associative over (weights scale by the accumulated
+transmittance T_in).  tests/test_frame_eval.py pins frame-path output to
+render_rays_eval to ~1e-4.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import near_far_from_aabb
+from .renderer import (
+    RenderConfig,
+    FieldFns,
+    _bucketed_stream_query,
+    _eval_stream_pass,
+    _resolve_bg,
+)
+
+
+#: Alive-buffer sizes (each tier's round program compiles once, persistent
+#: cache).  The ladder is frame-scale, not chunk-scale: residual demand right
+#: after the first pass can be tens of thousands of rays across an 800^2
+#: frame, then collapses to a long tail of hundreds.
+TIERS = (1024, 4096, 16384, 65536)
+
+
+class FrameRenderer:
+    """Caches the jitted first-pass / round / finalize programs for one
+    (field, cfg) pair.  Trainers hold one instance per eval configuration."""
+
+    def __init__(self, field: FieldFns, cfg: RenderConfig, chunk: int = 8192,
+                 k_res: int | None = None):
+        self.field = field
+        self.cfg = cfg
+        self.chunk = chunk
+        # per-ray sample budget of one residual round; residual rays are the
+        # long tail, so default to the configured eval round width
+        self.k_res = k_res or cfg.K_eval
+        self.tiers = TIERS
+        self._first = jax.jit(self._first_pass)
+        # donate the frame-state arrays (rays_t, ws, depth, image = args
+        # 5..8 after the bound `na`): each round rewrites them in place
+        self._round = {
+            na: jax.jit(partial(self._residual_round, na),
+                        donate_argnums=(5, 6, 7, 8))
+            for na in self.tiers
+        }
+        self._count = jax.jit(self._alive_count)
+        self._compact = {
+            na: jax.jit(partial(self._compact_alive, na)) for na in self.tiers
+        }
+        self._fin = jax.jit(self._finalize)
+
+    # ---------------------------------------------------------------- stages
+    def _first_pass(self, params, o, d, bitfield, dgrid):
+        cfg = self.cfg
+        nears, fars = near_far_from_aabb(o, d, cfg.aabb, cfg.min_near)
+        rays_t, ws, depth, image = _eval_stream_pass(
+            self.field, params, o, d, nears, fars, bitfield, cfg, dgrid
+        )
+        return rays_t, ws, depth, image, nears, fars
+
+    def _alive_count(self, rays_t, ws, fars):
+        alive = (rays_t < fars) & (1.0 - ws >= self.cfg.T_thresh)
+        return alive.sum(dtype=jnp.int32)
+
+    def _compact_alive(self, na, rays_t, ws, fars):
+        """First `na` alive ray indices + slot validity."""
+        alive = (rays_t < fars) & (1.0 - ws >= self.cfg.T_thresh)
+        idx = jnp.nonzero(alive, size=na, fill_value=0)[0].astype(jnp.int32)
+        n_alive = alive.sum(dtype=jnp.int32)
+        ok = jnp.arange(na, dtype=jnp.int32) < n_alive
+        return idx, ok
+
+    def _residual_round(self, na, params, bitfield, dgrid, o_f, d_f,
+                        rays_t, ws, depth, image, fars_f, idx, ok):
+        """One frame-global residual round over `na` compacted alive rays.
+
+        Same continuation math as renderer.res_body_stream: local weights
+        scale by the accumulated transmittance T_in (kernel_composite_rays,
+        raymarching.cu:884), depth absolutizes the round-relative t_cum, and
+        every state update is a scatter-ADD of zero-masked deltas (fill slots
+        all point at ray 0; a .set would clobber its real update)."""
+        from ..ops.march import march_rays_chunked
+
+        cfg = self.cfg
+        o_a = jnp.take(o_f, idx, axis=0)
+        d_a = jnp.take(d_f, idx, axis=0)
+        t_a = jnp.take(rays_t, idx)
+        f_a = jnp.take(fars_f, idx)
+        t_a = jnp.where(ok, t_a, f_a)  # dead fill slots march nothing
+        ws_a = jnp.take(ws, idx)
+        m_res = max(128, -(-na * self.k_res // 128) * 128)
+        cm = march_rays_chunked(
+            o_a, d_a, t_a, f_a, bitfield,
+            bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+            M_budget=m_res, G=cfg.march_chunk, dilated_grid=dgrid,
+        )
+        ws_c, dep_c, img_c = _bucketed_stream_query(
+            self.field, params, cm.sel, cm.sel_valid, o_a, d_a, cm.t0, na, cfg
+        )
+        okf = ok.astype(jnp.float32)
+        T_in = jnp.maximum(1.0 - ws_a, 0.0) * okf
+        rays_t = rays_t.at[idx].add((cm.resume_t - t_a) * okf)
+        ws = ws.at[idx].add(T_in * ws_c)
+        depth = depth.at[idx].add(T_in * (dep_c + t_a * ws_c))
+        image = image.at[idx].add(T_in[:, None] * img_c)
+        return rays_t, ws, depth, image
+
+    def _finalize(self, params, o, d, ws, depth, image, nears, fars, bg_color):
+        cfg = self.cfg
+        bg = _resolve_bg(self.field, params, o, d, cfg, bg_color)
+        image = image + (1.0 - ws)[:, None] * bg
+        depth = jnp.clip(depth - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+        return image, depth
+
+    # ------------------------------------------------------------------ drive
+    def render(self, params, rays_o, rays_d, bitfield, dgrid, bg_color=None,
+               max_rounds: int = 64):
+        """Render an arbitrary ray batch (a full frame, typically).
+
+        Host-driven: first pass per chunk (all chunks dispatched before any
+        sync), then frame-global residual rounds sized to the live alive
+        count (one scalar D2H per round).  Returns (image [N, 3],
+        depth [N]) numpy-convertible device arrays."""
+        n = rays_o.shape[0]
+        chunk = self.chunk
+        pad = (-n) % chunk
+        o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+        d_ = jnp.pad(rays_d, ((0, pad), (0, 0)))
+        parts = [
+            self._first(params, o[s:s + chunk], d_[s:s + chunk], bitfield, dgrid)
+            for s in range(0, n + pad, chunk)
+        ]
+        rays_t, ws, depth, image, nears, fars = (
+            jnp.concatenate([p[i] for p in parts]) for i in range(6)
+        )
+
+        for _ in range(max_rounds):
+            n_alive = int(self._count(rays_t, ws, fars))
+            if n_alive == 0:
+                break
+            na = next((t for t in self.tiers if t >= n_alive), self.tiers[-1])
+            idx, ok = self._compact[na](rays_t, ws, fars)
+            rays_t, ws, depth, image = self._round[na](
+                params, bitfield, dgrid, o, d_,
+                rays_t, ws, depth, image, fars, idx, ok,
+            )
+
+        bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
+        image, depth = self._fin(params, o, d_, ws, depth, image, nears, fars, bg)
+        return image[:n], depth[:n]

@@ -151,6 +151,7 @@ def update_density_grid(
             tmp = tmp.at[cas].set(jnp.roll(row, off))
     else:  # "resample": the reference's exact random+occupied scheme
         N = H3 // 4
+        rows = []
         for cas in range(cascades):
             key, k1, k2, jk = jax.random.split(key, 4)
             rand_idx = jax.random.randint(k1, (N,), 0, H3)
@@ -167,7 +168,23 @@ def update_density_grid(
             jitter = jax.random.uniform(jk, (2 * N, 3), minval=-1.0, maxval=1.0)
             xyz_cf = _cells_to_world_cf(coords, cas, bound, grid_size, jitter.T)
             sig = _chunked_density(density_fn, params, xyz_cf, chunk) * density_scale
-            tmp = tmp.at[cas, idx].set(sig.astype(jnp.float32))
+            # XLA's .at[].set over the 2M-cell row runs at ~12M rows/s (~80 ms
+            # of the 186 ms partial update, PERF.md round 3); the lane-packed
+            # Pallas set-scatter keeps the whole row in one VMEM window.
+            # Duplicate indices (rand vs occupied overlap) resolve last-write
+            # either way — the reference's tmp_grid writes race too.
+            if H3 % 128 == 0:
+                from ..kernels.scatter import scatter_set_flat_auto
+
+                rows.append(
+                    scatter_set_flat_auto(idx, sig.astype(jnp.float32), H3,
+                                          init=-1.0)
+                )
+            else:
+                rows.append(
+                    tmp[cas].at[idx].set(sig.astype(jnp.float32))
+                )
+        tmp = jnp.stack(rows)
 
     valid = (state.density_grid >= 0) & (tmp >= 0)
     grid = jnp.where(

@@ -502,6 +502,27 @@ class Trainer:
             intrinsics = jnp.asarray(np.asarray(intrinsics) * s)
         params = self.ema_params if use_ema else self.params
         o, d = full_image_rays(jnp.asarray(pose), intrinsics, H, W)
+        cfg = self.cfg
+        if (
+            self.use_grid and cfg.eval_stream and cfg.march_chunk > 0
+            and cfg.max_steps % cfg.march_chunk == 0
+        ):
+            # frame-level eval: per-chunk first pass + frame-global residual
+            # rounds over a persistent alive set (render/frame_eval.py) —
+            # residual cost proportional to the actual alive count instead of
+            # chunks x fixed-width while_loop rounds
+            fr = getattr(self, "_frame_renderer", None)
+            if fr is None or fr.chunk != chunk:
+                from ..render.frame_eval import FrameRenderer
+
+                fr = FrameRenderer(self.field, cfg, chunk=chunk)
+                self._frame_renderer = fr
+            dgrid = self._dgrid_fn(self.grid.bitfield)
+            bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
+            img, dep = fr.render(params, o, d, self.grid.bitfield, dgrid, bg)
+            img = np.asarray(img).reshape(H, W, 3)
+            dep = np.asarray(dep).reshape(H, W)
+            return img, dep
         if not hasattr(self, "_eval_fn"):
             field, cfg = self.field, self.cfg
             use_grid = self.use_grid
