@@ -228,3 +228,49 @@ def test_precomputed_dilated_grid_equivalence():
     e_hoist = render_rays_eval(field, None, o, d, bf, cfg, dilated_grid=dg)
     np.testing.assert_array_equal(
         np.asarray(e_inline["image"]), np.asarray(e_hoist["image"]))
+
+
+def test_occupied_rank_descend_matches_flat_searchsorted():
+    """The hierarchical 128-way CDF descent (occupancy._occupied_rank_descend)
+    must pick the SAME cell as the reference's flat
+    searchsorted(cumsum(occ), u, 'left') for every u — all three level
+    shapes: 3-level (H3 % 16384 == 0), 2-level (H3 % 128 == 0), flat tiny."""
+    from tngp.render.occupancy import _occupied_rank_descend
+
+    rng = np.random.default_rng(0)
+    for H3, p in ((32 * 32 * 32, 0.07), (16 * 16 * 16, 0.2), (120, 0.3)):
+        occ = (rng.random(H3) < p).astype(np.float32)
+        total = occ.sum()
+        u = rng.random(4096).astype(np.float32) * max(total, 1.0)
+        # keep u away from exact integer CDF boundaries: left-insertion ties
+        # are measure-zero in the sampler but not under a dense test sweep
+        u = np.where(np.abs(u - np.round(u)) < 1e-3, u + 0.25, u)
+        u = np.minimum(u, total - 1e-3)  # the nudge must not pass total
+        got = np.asarray(_occupied_rank_descend(jnp.asarray(occ), jnp.asarray(u)))
+        want = np.clip(
+            np.searchsorted(np.cumsum(occ.astype(np.float64)), u, side="left"),
+            0, H3 - 1,
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"H3={H3}")
+        assert occ[got].all()  # every picked cell is occupied
+
+
+def test_sample_occupied_cells_uniformity():
+    """Empirical check: the sampler is (approximately) uniform over the
+    occupied set and never returns an unoccupied cell."""
+    from tngp.render.occupancy import _sample_occupied_cells
+
+    rng = np.random.default_rng(1)
+    H3 = 32 * 32 * 32
+    occ = np.zeros(H3, np.float32)
+    occ_ids = rng.choice(H3, size=500, replace=False)
+    occ[occ_ids] = 1.0
+    idx, total = _sample_occupied_cells(
+        jnp.asarray(occ), jax.random.PRNGKey(0), 50000
+    )
+    idx = np.asarray(idx)
+    assert float(total) == 500.0
+    assert occ[idx].all()
+    counts = np.bincount(idx, minlength=H3)[occ_ids]
+    # each occupied cell expects 100 hits; bound the spread loosely
+    assert counts.min() > 40 and counts.max() < 200

@@ -88,6 +88,83 @@ def _chunked_density(density_fn, params, xyz_cf: jax.Array, chunk: int) -> jax.A
     return sig.reshape(-1)[:N]
 
 
+def _sample_occupied_cells(occ: jax.Array, key: jax.Array, n: int):
+    """Uniformly sample `n` cell indices from the occupied set — the
+    reference's inverse-CDF `searchsorted(cumsum(occ), U(0, total))`
+    (renderer.py:556-562), computed by hierarchical 128-way CDF descent.
+
+    Distribution-identical to the flat searchsorted: "first index whose
+    running count >= u" decomposes exactly over block partial sums (picking
+    the first block whose cumulative count >= u, then descending with the
+    residual rank).  On TPU the flat form is 21 binary-search rounds x n
+    RANDOM gathers over the H^3 CDF (~171 ms at H=128, N=524K —
+    bench_grid_update.py round 4); the descent is 2-3 contiguous row-gathers
+    plus [n, <=128]-shaped vector compares.
+
+    Returns (idx [n] int32, total occupied count, float32 scalar)."""
+    total = jnp.sum(occ.astype(jnp.float32))
+    u = jax.random.uniform(key, (n,)) * jnp.maximum(total, 1.0)
+    return _occupied_rank_descend(occ, u), total
+
+
+def _occupied_rank_descend(occ: jax.Array, u: jax.Array) -> jax.Array:
+    """Index of the first cell whose running occupied-count >= u, for each u
+    — exactly `searchsorted(cumsum(occ), u, side="left")` (clipped), by
+    hierarchical descent.  Factored out of _sample_occupied_cells so tests
+    can pin it against the flat form with explicit u."""
+    H3 = occ.shape[0]
+    occ = occ.astype(jnp.float32)
+
+    def root_descend(cdf, u):
+        """Shared root CDF [W]: child = first j with cdf[j] >= u (the
+        compare broadcasts without materializing a cumsum per query)."""
+        child = jnp.sum((cdf[None, :] < u[:, None]).astype(jnp.int32), axis=1)
+        child = jnp.minimum(child, cdf.shape[0] - 1)
+        prev = jnp.where(child > 0, jnp.take(cdf, jnp.maximum(child - 1, 0)), 0.0)
+        return child, u - prev
+
+    def level_descend(base_idx, need, counts_rows):
+        """counts_rows [n, W]: per-child counts under each query's current
+        node.  Picks child = first j with cumsum(counts)[j] >= need;
+        returns (child index within node, residual need)."""
+        cdf_rows = jnp.cumsum(counts_rows, axis=1)
+        child = jnp.sum((cdf_rows < need[:, None]).astype(jnp.int32), axis=1)
+        child = jnp.minimum(child, counts_rows.shape[1] - 1)
+        prev = jnp.where(
+            child > 0,
+            jnp.take_along_axis(
+                cdf_rows, jnp.maximum(child - 1, 0)[:, None], axis=1
+            )[:, 0],
+            0.0,
+        )
+        return base_idx * counts_rows.shape[1] + child, need - prev
+
+    if H3 % (128 * 128) == 0 and H3 >= 128 * 128 * 2:
+        # three levels: [B2, 128, 128] cells
+        B2 = H3 // (128 * 128)
+        f = occ.reshape(B2, 128, 128)
+        c_block = f.sum(axis=2)  # [B2, 128]
+        cdf_super = jnp.cumsum(c_block.sum(axis=1))  # [B2]
+        node, need = root_descend(cdf_super, u)
+        node, need = level_descend(node, need, jnp.take(c_block, node, axis=0))
+        node, _ = level_descend(
+            node, need, jnp.take(f.reshape(B2 * 128, 128), node, axis=0)
+        )
+        return node
+    if H3 % 128 == 0 and H3 >= 256:
+        B = H3 // 128
+        f = occ.reshape(B, 128)
+        cdf_block = jnp.cumsum(f.sum(axis=1))  # [B]
+        node, need = root_descend(cdf_block, u)
+        node, _ = level_descend(node, need, jnp.take(f, node, axis=0))
+        return node
+    # tiny grids (tests): flat reference form
+    cdf = jnp.cumsum(occ)
+    return jnp.clip(
+        jnp.searchsorted(cdf, u, side="left"), 0, H3 - 1
+    ).astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -151,16 +228,18 @@ def update_density_grid(
             tmp = tmp.at[cas].set(jnp.roll(row, off))
     else:  # "resample": the reference's exact random+occupied scheme
         N = H3 // 4
-        rows = []
         for cas in range(cascades):
             key, k1, k2, jk = jax.random.split(key, 4)
             rand_idx = jax.random.randint(k1, (N,), 0, H3)
-            # occupied resample via inverse-CDF over the occupancy mask
+            # occupied resample: uniform over occupied cells (the reference's
+            # inverse-CDF, renderer.py:556-562).  A flat
+            # searchsorted(cumsum(occ), u) is 21 binary-search rounds x N
+            # random gathers over the H^3 CDF — measured 171 ms of the 192 ms
+            # partial update at H=128 (bench_grid_update.py, round 4); the
+            # 128-way hierarchical descent below is distribution-identical
+            # and costs 3 row-gathers + [N, 128] vector compares.
             occ = (state.density_grid[cas] > 0).astype(jnp.float32)
-            cdf = jnp.cumsum(occ)
-            total = cdf[-1]
-            u = jax.random.uniform(k2, (N,)) * jnp.maximum(total, 1.0)
-            occ_idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, H3 - 1)
+            occ_idx, total = _sample_occupied_cells(occ, k2, N)
             occ_idx = jnp.where(total > 0, occ_idx, rand_idx)
             idx = jnp.concatenate([rand_idx, occ_idx])  # [2N]
             H = grid_size
@@ -168,23 +247,11 @@ def update_density_grid(
             jitter = jax.random.uniform(jk, (2 * N, 3), minval=-1.0, maxval=1.0)
             xyz_cf = _cells_to_world_cf(coords, cas, bound, grid_size, jitter.T)
             sig = _chunked_density(density_fn, params, xyz_cf, chunk) * density_scale
-            # XLA's .at[].set over the 2M-cell row runs at ~12M rows/s (~80 ms
-            # of the 186 ms partial update, PERF.md round 3); the lane-packed
-            # Pallas set-scatter keeps the whole row in one VMEM window.
-            # Duplicate indices (rand vs occupied overlap) resolve last-write
-            # either way — the reference's tmp_grid writes race too.
-            if H3 % 128 == 0:
-                from ..kernels.scatter import scatter_set_flat_auto
-
-                rows.append(
-                    scatter_set_flat_auto(idx, sig.astype(jnp.float32), H3,
-                                          init=-1.0)
-                )
-            else:
-                rows.append(
-                    tmp[cas].at[idx].set(sig.astype(jnp.float32))
-                )
-        tmp = jnp.stack(rows)
+            # plain XLA set-scatter: 7.6 ms for 1M indices at H=128 — the
+            # lane-packed Pallas set kernel measured SLOWER (11.1 ms), so the
+            # round-3 "~80 ms scatter" attribution was wrong (it was the
+            # searchsorted above); keep XLA (bench_grid_update.py, round 4)
+            tmp = tmp.at[cas, idx].set(sig.astype(jnp.float32))
 
     valid = (state.density_grid >= 0) & (tmp >= 0)
     grid = jnp.where(
@@ -284,10 +351,7 @@ def update_time_density_grid(
                 k, k1, k2, jk = jax.random.split(k, 4)
                 rand_idx = jax.random.randint(k1, (N,), 0, H3)
                 occ = (slice_grid[cas] > 0).astype(jnp.float32)
-                cdf = jnp.cumsum(occ)
-                total = cdf[-1]
-                u = jax.random.uniform(k2, (N,)) * jnp.maximum(total, 1.0)
-                occ_idx = jnp.clip(jnp.searchsorted(cdf, u), 0, H3 - 1)
+                occ_idx, total = _sample_occupied_cells(occ, k2, N)
                 occ_idx = jnp.where(total > 0, occ_idx, rand_idx)
                 idx = jnp.concatenate([rand_idx, occ_idx])
                 H = grid_size
