@@ -74,7 +74,12 @@ def main():
                     help="disable the budget-tier ladder entirely (A/B)")
     ap.add_argument("--march_chunk", type=int, default=8,
                     help="0 = flat dense march (round-2b structure)")
+    ap.add_argument("--mxu_f32", action="store_true",
+                    help="true-f32 window-encoder matmuls (Precision.HIGHEST;"
+                         " 3.5-4x slower) — the bf16 quality A/B")
     args = ap.parse_args()
+    if args.mxu_f32:
+        os.environ["TNGP_MXU_F32"] = "1"
     tag = args.tag or ("em" if args.error_map else "base")
 
     poses, intr, images = get_hard_dataset()

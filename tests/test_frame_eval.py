@@ -98,3 +98,35 @@ def test_frame_eval_bg_color_and_dtype():
                            bg_color=bg, dilated_grid=dg)
     np.testing.assert_allclose(img, np.asarray(out["image"])[:40],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_frame_eval_padding_rays_die_immediately():
+    """Regression (round 4): jnp.pad's all-zero fill rays (o=0, d=0) get
+    far=+inf from the slab test and — in a scene whose ORIGIN cell is empty —
+    never saturate, pinning every frame at max_rounds with a full-tier round
+    each (the on-chip 'alive stuck at 7168 = pad count' bug).  Pads must miss
+    the aabb and retire in the first pass."""
+    import jax
+
+    cfg = RenderConfig(bound=1.0, grid_size=32, max_steps=256, K=64, K_eval=16,
+                       min_near=0.05, march_chunk=8, eval_budget=0.05)
+
+    def density(params, x_cf):  # shell blob AWAY from the origin
+        r2 = jnp.sum((x_cf - 0.55) ** 2, axis=0)
+        return 30.0 * jnp.exp(-r2 / (2 * 0.15**2))
+
+    def sigma_rgb(params, x_cf, d_cf):
+        return density(params, x_cf), jax.nn.sigmoid(x_cf * 2.0)
+
+    from tngp.render import FieldFns
+
+    field = FieldFns(sigma_rgb=sigma_rgb, density=density)
+    o, d = make_rays(50, seed=5)
+    bf = sparse_bitfield(cfg, r=0.9)  # origin cell occupied: pads DO march
+    dg = dilated_chunk_grid(bf, cfg)
+    fr = FrameRenderer(field, cfg, chunk=32)  # pad = 14 rays
+    img, dep = fr.render(None, o, d, bf, dg, max_rounds=40)
+    assert np.isfinite(np.asarray(img)).all()
+    # real rays need a few starved rounds; the 14 pad rays must not pin the
+    # loop at max_rounds
+    assert fr.last_rounds < 40, f"pad rays never died ({fr.last_rounds} rounds)"

@@ -199,6 +199,10 @@ def get_encoder(
             spec=wspec,
             # kernel-orientation A/B knob (see WindowGridEncoder.swap_select)
             swap_select=os.environ.get("TNGP_WIN_SWAP", "0") == "1",
+            # true-f32 MXU passes (Precision.HIGHEST, 3.5-4x slower) — the
+            # bf16-vs-f32 training-quality A/B knob (PERF.md round 2c)
+            mxu_f32=bool(kwargs.get("mxu_f32", False))
+            or os.environ.get("TNGP_MXU_F32", "0") == "1",
             # position backprop (D-NeRF deform path); harmless elsewhere but
             # costs 3 extra fwd passes in the VJP, so callers opt in
             input_grads=bool(kwargs.get("input_grads", False)),

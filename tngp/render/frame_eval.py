@@ -57,6 +57,13 @@ from .renderer import (
 #: frame, then collapses to a long tail of hundreds.
 TIERS = (1024, 4096, 16384, 65536)
 
+#: Total sample budget of ONE residual round, shared by however many rays the
+#: tier holds (reference semantics: `n_step = max(min(N // n_alive, 8), 1)`,
+#: nerf/renderer.py:392 — crowded rounds march each ray a few steps and
+#: re-iterate; sparse rounds march the long tail deep).  Caps the
+#: 65536-tier round at 8 samples/ray instead of an 8.4M-sample program.
+ROUND_BUDGET = 1 << 19
+
 
 class FrameRenderer:
     """Caches the jitted first-pass / round / finalize programs for one
@@ -124,7 +131,8 @@ class FrameRenderer:
         f_a = jnp.take(fars_f, idx)
         t_a = jnp.where(ok, t_a, f_a)  # dead fill slots march nothing
         ws_a = jnp.take(ws, idx)
-        m_res = max(128, -(-na * self.k_res // 128) * 128)
+        k_tier = max(8, min(self.k_res, ROUND_BUDGET // na))
+        m_res = max(128, -(-na * k_tier // 128) * 128)
         cm = march_rays_chunked(
             o_a, d_a, t_a, f_a, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
@@ -158,11 +166,27 @@ class FrameRenderer:
         sync), then frame-global residual rounds sized to the live alive
         count (one scalar D2H per round).  Returns (image [N, 3],
         depth [N]) numpy-convertible device arrays."""
+        import os
+        import sys
+        import time
+
+        dbg = os.environ.get("TNGP_FRAME_DEBUG", "0") == "1"
         n = rays_o.shape[0]
         chunk = self.chunk
         pad = (-n) % chunk
-        o = jnp.pad(rays_o, ((0, pad), (0, 0)))
-        d_ = jnp.pad(rays_d, ((0, pad), (0, 0)))
+        # pad with rays that MISS the aabb (origin outside, pointing away):
+        # near_far gives near = far = BIG and the first pass retires them.
+        # An all-zeros pad (d = 0) gets far = +inf under the slab test and
+        # stays alive forever, pinning every frame at max_rounds (the
+        # round-4 "stuck at alive=7168 = pad count" bug).
+        b = float(self.cfg.bound)
+        o_pad = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 3.0 * b], rays_o.dtype), (pad, 3))
+        d_pad = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], rays_d.dtype), (pad, 3))
+        o = jnp.concatenate([rays_o, o_pad])
+        d_ = jnp.concatenate([rays_d, d_pad])
+        t0 = time.time()
         parts = [
             self._first(params, o[s:s + chunk], d_[s:s + chunk], bitfield, dgrid)
             for s in range(0, n + pad, chunk)
@@ -170,17 +194,28 @@ class FrameRenderer:
         rays_t, ws, depth, image, nears, fars = (
             jnp.concatenate([p[i] for p in parts]) for i in range(6)
         )
+        if dbg:
+            jax.block_until_ready(rays_t)
+            print(f"#   first pass ({(n+pad)//chunk} chunks): "
+                  f"{time.time()-t0:.2f}s", file=sys.stderr, flush=True)
 
-        for _ in range(max_rounds):
+        self.last_rounds = 0  # telemetry: rounds this frame took
+        for r in range(max_rounds):
+            t0 = time.time()
             n_alive = int(self._count(rays_t, ws, fars))
             if n_alive == 0:
                 break
+            self.last_rounds = r + 1
             na = next((t for t in self.tiers if t >= n_alive), self.tiers[-1])
             idx, ok = self._compact[na](rays_t, ws, fars)
             rays_t, ws, depth, image = self._round[na](
                 params, bitfield, dgrid, o, d_,
                 rays_t, ws, depth, image, fars, idx, ok,
             )
+            if dbg:
+                jax.block_until_ready(rays_t)
+                print(f"#   round {r}: alive={n_alive} na={na} "
+                      f"{time.time()-t0:.3f}s", file=sys.stderr, flush=True)
 
         bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
         image, depth = self._fin(params, o, d_, ws, depth, image, nears, fars, bg)
