@@ -98,6 +98,11 @@ def main():
     t0 = time.time()
     for p in test_poses:
         img, _ = trainer.render_image(p, W=R, H=R, chunk=args.chunk)
+        fr = getattr(trainer, "_frame_renderer", None)
+        if fr is not None:
+            print(f"# frame: {time.time()-t0:.2f}s cum, "
+                  f"{getattr(fr, 'last_rounds', '?')} residual rounds",
+                  file=sys.stderr, flush=True)
     dt = time.time() - t0
     frames_s = args.frames / dt
     rays_s = frames_s * R * R

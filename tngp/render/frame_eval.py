@@ -90,6 +90,16 @@ class FrameRenderer:
         self._compact = {
             na: jax.jit(partial(self._compact_alive, na)) for na in self.tiers
         }
+        # device-resident tier loops: a while_loop of compact->round->recount
+        # at one tier that exits when alive drops into the next tier down.
+        # Host syncs ONE scalar per tier SWITCH (<= len(tiers)+1 per frame)
+        # instead of per round — through the tunnel a per-round host sync
+        # costs ~0.5-2 s, 10-20x the round's actual compute (round-4 debug
+        # trace: 16384-tier rounds at 1.6-2.5 s wall vs ~100 ms of work).
+        self._tier = {
+            ti: jax.jit(partial(self._run_tier, ti), donate_argnums=(5, 6, 7, 8))
+            for ti in range(len(self.tiers))
+        }
         self._fin = jax.jit(self._finalize)
 
     # ---------------------------------------------------------------- stages
@@ -150,6 +160,37 @@ class FrameRenderer:
         image = image.at[idx].add(T_in[:, None] * img_c)
         return rays_t, ws, depth, image
 
+    def _run_tier(self, ti, params, bitfield, dgrid, o_f, d_f,
+                  rays_t, ws, depth, image, fars_f, n_alive0):
+        """Device-resident residual loop at tier `ti`: iterate
+        compact -> round -> recount until the alive count falls into the
+        next tier down (0 for the smallest tier).  Returns the new frame
+        state + the device alive count (ONE host sync per tier switch)."""
+        na = self.tiers[ti]
+        stop = self.tiers[ti - 1] if ti > 0 else 0
+        cap = jnp.int32(512)  # safety bound; convergence is monotone
+
+        def cond(st):
+            it, alive = st[0], st[1]
+            return (alive > stop) & (it < cap)
+
+        def body(st):
+            it, _, rays_t, ws, depth, image = st
+            idx, ok = self._compact_alive(na, rays_t, ws, fars_f)
+            rays_t, ws, depth, image = self._residual_round(
+                na, params, bitfield, dgrid, o_f, d_f,
+                rays_t, ws, depth, image, fars_f, idx, ok,
+            )
+            alive = self._alive_count(rays_t, ws, fars_f)
+            return (it + 1, alive, rays_t, ws, depth, image)
+
+        it, alive, rays_t, ws, depth, image = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.asarray(n_alive0, jnp.int32),
+             rays_t, ws, depth, image),
+        )
+        return it, alive, rays_t, ws, depth, image
+
     def _finalize(self, params, o, d, ws, depth, image, nears, fars, bg_color):
         cfg = self.cfg
         bg = _resolve_bg(self.field, params, o, d, cfg, bg_color)
@@ -173,7 +214,11 @@ class FrameRenderer:
         dbg = os.environ.get("TNGP_FRAME_DEBUG", "0") == "1"
         n = rays_o.shape[0]
         chunk = self.chunk
-        pad = (-n) % chunk
+        # pad to a fixed 64K multiple (when the chunk divides it) so the
+        # frame-state shapes — and therefore the compiled tier-loop
+        # programs — are shared across first-pass chunk sizes
+        quantum = 65536 if (n >= 65536 and 65536 % chunk == 0) else chunk
+        pad = (-n) % quantum
         # pad with rays that MISS the aabb (origin outside, pointing away):
         # near_far gives near = far = BIG and the first pass retires them.
         # An all-zeros pad (d = 0) gets far = +inf under the slab test and
@@ -200,22 +245,37 @@ class FrameRenderer:
                   f"{time.time()-t0:.2f}s", file=sys.stderr, flush=True)
 
         self.last_rounds = 0  # telemetry: rounds this frame took
-        for r in range(max_rounds):
-            t0 = time.time()
-            n_alive = int(self._count(rays_t, ws, fars))
-            if n_alive == 0:
-                break
-            self.last_rounds = r + 1
-            na = next((t for t in self.tiers if t >= n_alive), self.tiers[-1])
-            idx, ok = self._compact[na](rays_t, ws, fars)
-            rays_t, ws, depth, image = self._round[na](
-                params, bitfield, dgrid, o, d_,
-                rays_t, ws, depth, image, fars, idx, ok,
-            )
-            if dbg:
+        if dbg:
+            # host-driven per-round loop: one sync per round (slow through
+            # the tunnel) but prints per-round alive/na/wall for diagnosis
+            for r in range(max_rounds):
+                t0 = time.time()
+                n_alive = int(self._count(rays_t, ws, fars))
+                if n_alive == 0:
+                    break
+                self.last_rounds = r + 1
+                na = next((t for t in self.tiers if t >= n_alive), self.tiers[-1])
+                idx, ok = self._compact[na](rays_t, ws, fars)
+                rays_t, ws, depth, image = self._round[na](
+                    params, bitfield, dgrid, o, d_,
+                    rays_t, ws, depth, image, fars, idx, ok,
+                )
                 jax.block_until_ready(rays_t)
                 print(f"#   round {r}: alive={n_alive} na={na} "
                       f"{time.time()-t0:.3f}s", file=sys.stderr, flush=True)
+        else:
+            # device-resident tier loops; host syncs once per tier switch
+            alive_dev = self._count(rays_t, ws, fars)
+            n_alive = int(alive_dev)
+            while n_alive > 0 and self.last_rounds < max_rounds:
+                ti = next((i for i, t in enumerate(self.tiers)
+                           if t >= n_alive), len(self.tiers) - 1)
+                it, alive_dev, rays_t, ws, depth, image = self._tier[ti](
+                    params, bitfield, dgrid, o, d_,
+                    rays_t, ws, depth, image, fars, alive_dev,
+                )
+                self.last_rounds += int(it)
+                n_alive = int(alive_dev)
 
         bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
         image, depth = self._fin(params, o, d_, ws, depth, image, nears, fars, bg)
