@@ -685,6 +685,15 @@ class Trainer:
         for kind in ("missing", "unexpected", "mismatched"):
             for item in rep.get(kind, []):
                 self.log(f"[load_checkpoint] {kind}: {item}")
+        # flax deserialization restores HOST numpy leaves.  Leaving them in
+        # the live trees makes every subsequent jitted call silently re-upload
+        # them host->device (49 MB of params per eval dispatch through the
+        # axon tunnel = 1.5-4 s/call — the round-4 "2.8 s/chunk" eval wall).
+        # Commit everything to device ONCE here; device leaves pass through.
+        payload = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+            payload,
+        )
         self.params = payload["params"]
         self.opt_state = payload["opt_state"]
         self.ema_params = payload["ema"]
