@@ -305,6 +305,10 @@ def main():
                 "value": round(rays_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_s / BASELINE_RAYS_PER_S, 3),
+                # which budget tier the timed section actually ran (VERDICT r4
+                # weak#3: the tier was only visible in stderr, making the
+                # stage-ledger reconciliation unverifiable from the JSON)
+                "tier_M": TIER_M[tier],
                 **extra,
             }
         )

@@ -98,7 +98,8 @@ def main():
     t0 = time.time()
     for p in test_poses:
         img, _ = trainer.render_image(p, W=R, H=R, chunk=args.chunk)
-        fr = getattr(trainer, "_frame_renderer", None)
+        frs = getattr(trainer, "_frame_renderers", {})
+        fr = next(iter(frs.values()), None)
         if fr is not None:
             print(f"# frame: {time.time()-t0:.2f}s cum, "
                   f"{getattr(fr, 'last_rounds', '?')} residual rounds",

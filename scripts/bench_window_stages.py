@@ -59,7 +59,7 @@ def main():
     xyz8 = jnp.concatenate(
         [xyz4.T, jnp.zeros((4, M_pad), jnp.float32)], axis=0
     )  # [8, M_pad]
-    wob = _wob_local(spec, tob)  # [NB, L]
+    wob = _wob_local(spec, tob)  # [L, NB]
     g_sorted = jax.random.normal(k3, (L * C, M_pad))
     jax.block_until_ready((xyz8, wob, g_sorted))
     print(f"M_pad={M_pad} NB={M_pad // BLOCK}")

@@ -62,15 +62,34 @@ def test_viewer_state_throttles(tiny_trainer):
 
 
 def test_viewer_render_overrides_rebuild_cfg(tiny_trainer):
+    """A GUI dt_gamma/max_steps override must affect the NEXT render
+    (gui.py:252-262) — every cached eval program keyed on the old cfg has to
+    be bypassed, including the FrameRenderer cache (the round-4 stale-cfg
+    bug: a single cached instance kept rendering with the old settings)."""
     st = ViewerState(tiny_trainer)
-    tiny_trainer.render_image(tiny_trainer.poses[0])  # builds _eval_fn
-    assert hasattr(tiny_trainer, "_eval_fn")
+    img0, _ = tiny_trainer.render_image(tiny_trainer.poses[0])  # builds + caches
+    old_cfg = tiny_trainer.cfg
     st.apply_render_overrides({"dt_gamma": 0.004, "max_steps": 128})
     assert tiny_trainer.cfg.dt_gamma == 0.004
     assert tiny_trainer.cfg.max_steps == 128
     assert not hasattr(tiny_trainer, "_eval_fn")  # dropped for re-jit
     img, _ = tiny_trainer.render_image(tiny_trainer.poses[0])
     assert np.isfinite(img).all()
+    # whichever eval path ran, no renderer built for old_cfg may have served
+    # the post-override render at the default chunk
+    frs = getattr(tiny_trainer, "_frame_renderers", {})
+    if frs:
+        assert any(fr.cfg == tiny_trainer.cfg for fr in frs.values())
+        for (_, key_cfg), fr in frs.items():
+            assert fr.cfg == key_cfg  # cache key matches instance cfg
+    # reverting the overrides must reproduce the original render exactly
+    # (same cfg + params, deterministic kernels) — fails if either direction
+    # of the swap served a stale-cfg program
+    st.apply_render_overrides({"dt_gamma": old_cfg.dt_gamma,
+                               "max_steps": old_cfg.max_steps})
+    assert tiny_trainer.cfg == old_cfg
+    img2, _ = tiny_trainer.render_image(tiny_trainer.poses[0])
+    np.testing.assert_allclose(img2, img0, atol=1e-6)
 
 
 def test_viewer_http_endpoints(tiny_trainer):

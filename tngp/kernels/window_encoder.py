@@ -396,7 +396,7 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
             # blocks hitting the same window are consecutive (tiles are
             # block-sorted and tile->window is monotone): the canonical
             # Pallas revisit-accumulate pattern, per level
-            first = (b == 0) | (wob_ref[b, l] != wob_ref[jnp.maximum(b - 1, 0), l])
+            first = (b == 0) | (wob_ref[l, b] != wob_ref[l, jnp.maximum(b - 1, 0)])
             hi, lo, w = _level_corner_geometry(spec, l, xyz, S)
             if swap_select:
                 # unweighted lane one-hot built ONCE per level; the coef
@@ -438,11 +438,19 @@ def _make_bwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False):
 
 
 def _wob_local(spec: WindowSpec, tob: jax.Array) -> jax.Array:
-    """[NB, L] within-level window index of each block (prefetched so the
+    """[L, NB] within-level window index of each block (prefetched so the
     kernels DMA level slices straight from the window-layout parameter —
-    no 64 MB tile-major fat table is ever materialized)."""
+    no 64 MB tile-major fat table is ever materialized).
+
+    LEVEL-MAJOR ON PURPOSE: Mosaic lane-pads each ROW of a scalar-prefetch
+    operand to 128 entries in SMEM, so the old [NB, L] layout cost
+    NB*128*4 = M_pad bytes — at eval chunk 16384 (M_pad = 1,605,632) that
+    overflowed the 1 MB SMEM envelope ("prefetched SMEM operand 0",
+    u8[1605632] — the round-4 eval800 compile failure).  [L, NB] puts the
+    long axis on lanes: L*ceil(NB/128)*512 B ~= M_pad/8, good to ~8M
+    samples per call."""
     _, _, _, twin, _ = spec.const_tables()  # twin: [L, 64]
-    return jnp.take(jnp.asarray(twin.T), tob, axis=0)  # [NB, L]
+    return jnp.take(jnp.asarray(twin.T), tob, axis=0).T  # [L, NB]
 
 
 def _level_views(spec: WindowSpec, table_win: jax.Array):
@@ -460,7 +468,7 @@ def _fwd_pallas(spec, xyz8, wob, wins, *, block, mxu_dtype, interpret,
     def win_spec(l):
         return pl.BlockSpec(
             (1, C, WIN_LANES, WIN_HI),
-            lambda b, wob, l=l: (wob[b, l], 0, 0, 0),
+            lambda b, wob, l=l: (wob[l, b], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -493,7 +501,7 @@ def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret,
     def out_spec(l):
         return pl.BlockSpec(
             (1, C, WIN_LANES, WIN_HI),
-            lambda b, wob, l=l: (wob[b, l], 0, 0, 0),
+            lambda b, wob, l=l: (wob[l, b], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -522,7 +530,7 @@ def _bwd_pallas(spec, xyz8, wob, g_sorted, *, block, mxu_dtype, interpret,
     # them, then reassemble the [NW, C, 128, 64] gradient
     out = []
     for l in range(L):
-        visited = jnp.zeros((n_wins[l],), jnp.int32).at[wob[:, l]].set(1)
+        visited = jnp.zeros((n_wins[l],), jnp.int32).at[wob[l]].set(1)
         out.append(
             jnp.where(visited[:, None, None, None] == 1, gwins[l], 0.0)
         )

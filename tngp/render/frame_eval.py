@@ -51,18 +51,13 @@ from .renderer import (
 )
 
 
-#: Alive-buffer sizes (each tier's round program compiles once, persistent
-#: cache).  The ladder is frame-scale, not chunk-scale: residual demand right
+#: Back-compat aliases — the policy now lives in RenderConfig (eval_tiers /
+#: eval_round_budget) so eval-tuning sweeps are scriptable without editing
+#: source.  The ladder is frame-scale, not chunk-scale: residual demand right
 #: after the first pass can be tens of thousands of rays across an 800^2
 #: frame, then collapses to a long tail of hundreds.
-TIERS = (1024, 4096, 16384, 65536)
-
-#: Total sample budget of ONE residual round, shared by however many rays the
-#: tier holds (reference semantics: `n_step = max(min(N // n_alive, 8), 1)`,
-#: nerf/renderer.py:392 — crowded rounds march each ray a few steps and
-#: re-iterate; sparse rounds march the long tail deep).  Caps the
-#: 65536-tier round at 8 samples/ray instead of an 8.4M-sample program.
-ROUND_BUDGET = 1 << 19
+TIERS = RenderConfig.eval_tiers
+ROUND_BUDGET = RenderConfig.eval_round_budget
 
 
 class FrameRenderer:
@@ -77,7 +72,7 @@ class FrameRenderer:
         # per-ray sample budget of one residual round; residual rays are the
         # long tail, so default to the configured eval round width
         self.k_res = k_res or cfg.K_eval
-        self.tiers = TIERS
+        self.tiers = tuple(cfg.eval_tiers)
         self._first = jax.jit(self._first_pass)
         # donate the frame-state arrays (rays_t, ws, depth, image = args
         # 5..8 after the bound `na`): each round rewrites them in place
@@ -116,11 +111,30 @@ class FrameRenderer:
         return alive.sum(dtype=jnp.int32)
 
     def _compact_alive(self, na, rays_t, ws, fars):
-        """First `na` alive ray indices + slot validity."""
+        """First `na` alive ray indices + slot validity.
+
+        Branch-free binary search over the alive-rank cumsum (the
+        renderer._first_alive pattern) — jnp.nonzero lowers to a cumsum +
+        bincount-scatter over the full ~704K-slot padded frame, avoidable
+        work inside every while_loop round body."""
         alive = (rays_t < fars) & (1.0 - ws >= self.cfg.T_thresh)
-        idx = jnp.nonzero(alive, size=na, fill_value=0)[0].astype(jnp.int32)
-        n_alive = alive.sum(dtype=jnp.int32)
-        ok = jnp.arange(na, dtype=jnp.int32) < n_alive
+        n = alive.shape[0]
+        arank = jnp.cumsum(alive.astype(jnp.int32))
+        n_alive = arank[-1]
+        want = jnp.arange(1, na + 1, dtype=jnp.int32)
+        lo = jnp.zeros((na,), jnp.int32)
+        hi = jnp.full((na,), n, jnp.int32)
+        for _ in range(max(1, n.bit_length())):
+            mid = (lo + hi) >> 1
+            r = jnp.take(arank, jnp.minimum(mid, n - 1))
+            go_right = r < want
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        ok = want <= n_alive
+        # dead fill slots point at ray 0 (matching nonzero's fill_value=0 —
+        # every state update is a zero-masked scatter-ADD, so the target is
+        # irrelevant as long as it is in range)
+        idx = jnp.where(ok, jnp.minimum(lo, n - 1), 0).astype(jnp.int32)
         return idx, ok
 
     def _residual_round(self, na, params, bitfield, dgrid, o_f, d_f,
@@ -141,7 +155,7 @@ class FrameRenderer:
         f_a = jnp.take(fars_f, idx)
         t_a = jnp.where(ok, t_a, f_a)  # dead fill slots march nothing
         ws_a = jnp.take(ws, idx)
-        k_tier = max(8, min(self.k_res, ROUND_BUDGET // na))
+        k_tier = max(8, min(self.k_res, int(cfg.eval_round_budget) // na))
         m_res = max(128, -(-na * k_tier // 128) * 128)
         cm = march_rays_chunked(
             o_a, d_a, t_a, f_a, bitfield,
@@ -161,14 +175,16 @@ class FrameRenderer:
         return rays_t, ws, depth, image
 
     def _run_tier(self, ti, params, bitfield, dgrid, o_f, d_f,
-                  rays_t, ws, depth, image, fars_f, n_alive0):
+                  rays_t, ws, depth, image, fars_f, n_alive0, cap):
         """Device-resident residual loop at tier `ti`: iterate
         compact -> round -> recount until the alive count falls into the
         next tier down (0 for the smallest tier).  Returns the new frame
-        state + the device alive count (ONE host sync per tier switch)."""
+        state + the device alive count (ONE host sync per tier switch).
+        `cap` is the REMAINING host round budget (render()'s max_rounds
+        minus rounds already spent) so max_rounds is a real frame bound."""
         na = self.tiers[ti]
         stop = self.tiers[ti - 1] if ti > 0 else 0
-        cap = jnp.int32(512)  # safety bound; convergence is monotone
+        cap = jnp.asarray(cap, jnp.int32)
 
         def cond(st):
             it, alive = st[0], st[1]
@@ -273,6 +289,7 @@ class FrameRenderer:
                 it, alive_dev, rays_t, ws, depth, image = self._tier[ti](
                     params, bitfield, dgrid, o, d_,
                     rays_t, ws, depth, image, fars, alive_dev,
+                    max_rounds - self.last_rounds,
                 )
                 self.last_rounds += int(it)
                 n_alive = int(alive_dev)

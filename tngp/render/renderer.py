@@ -81,6 +81,14 @@ class RenderConfig:
     # ~3x fewer probe gathers (the march's whole cost is the XLA gather
     # ceiling).  0 = flat probe-every-rung stream path.
     march_chunk: int = 8
+    # frame-level eval (render/frame_eval.py FrameRenderer) policy: alive-
+    # buffer sizes of the residual-round tier ladder (each tier's round
+    # program compiles once) and the total sample budget shared by one
+    # residual round (reference semantics: n_step = max(min(N//n_alive, 8),
+    # 1), nerf/renderer.py:392 — crowded rounds march shallow, the long
+    # tail marches deep).
+    eval_tiers: tuple = (1024, 4096, 16384, 65536)
+    eval_round_budget: int = 1 << 19
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":

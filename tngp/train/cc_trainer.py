@@ -110,7 +110,7 @@ class CCTrainer(Trainer):
         self._train_step = self._build_train_step()  # re-inits tx/opt_state
         if hasattr(self, "_eval_fn"):
             del self._eval_fn
-        self.__dict__.pop("_frame_renderer", None)  # captures self.field
+        self.__dict__.pop("_frame_renderers", None)  # captures self.field
 
     def _build_train_step(self):
         # uses custom optimizer with per-group lr

@@ -139,7 +139,7 @@ class TensoRFTrainer(Trainer):
         self._train_step = self._build_train_step()
         if hasattr(self, "_eval_fn"):
             del self._eval_fn
-        self.__dict__.pop("_frame_renderer", None)  # captures self.field
+        self.__dict__.pop("_frame_renderers", None)  # captures self.field
 
     # ------------------------------------------------------ shape-aware resume
     def _geometry(self):
@@ -168,7 +168,7 @@ class TensoRFTrainer(Trainer):
         self._train_step = self._build_train_step()
         if hasattr(self, "_eval_fn"):
             del self._eval_fn
-        self.__dict__.pop("_frame_renderer", None)  # captures self.field
+        self.__dict__.pop("_frame_renderers", None)  # captures self.field
 
     def train_one_epoch(self, steps: int):
         import time

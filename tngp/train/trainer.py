@@ -145,7 +145,11 @@ class Trainer:
         self._step_has_dgrid = (
             type(self)._build_train_step is Trainer._build_train_step
         )
-        self._dgrid_fn = jax.jit(lambda bf: dilated_chunk_grid(bf, self.cfg))
+        # static cfg arg: jit caches one program per cfg, so a GUI cfg
+        # override (dataclasses.replace on trainer.cfg) can't serve a stale
+        # dilation radius from the old trace
+        self._dgrid_jit = jax.jit(dilated_chunk_grid, static_argnums=(1,))
+        self._dgrid_fn = lambda bf: self._dgrid_jit(bf, self.cfg)
         self._dgrid = (
             self._dgrid_fn(self.grid.bitfield)
             if self._wants_dgrid and self.use_grid and cfg.march_dense
@@ -511,12 +515,21 @@ class Trainer:
             # rounds over a persistent alive set (render/frame_eval.py) —
             # residual cost proportional to the actual alive count instead of
             # chunks x fixed-width while_loop rounds
-            fr = getattr(self, "_frame_renderer", None)
-            if fr is None or fr.chunk != chunk:
+            # cache per (chunk, cfg): a GUI dt_gamma/max_steps override swaps
+            # cfg (round-4 stale-cfg bug — the single cached instance kept
+            # rendering with the old settings), and the GUI's dynamic-
+            # resolution throttle alternates chunk sizes (compiled tier-loop
+            # programs are shape-shared via the 64K padding quantum, so
+            # per-key instances are cheap)
+            frs = getattr(self, "_frame_renderers", None)
+            if frs is None:
+                frs = self._frame_renderers = {}
+            fr = frs.get((chunk, cfg))
+            if fr is None:
                 from ..render.frame_eval import FrameRenderer
 
-                fr = FrameRenderer(self.field, cfg, chunk=chunk)
-                self._frame_renderer = fr
+                fr = frs[(chunk, cfg)] = FrameRenderer(self.field, cfg,
+                                                       chunk=chunk)
             dgrid = self._dgrid_fn(self.grid.bitfield)
             bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
             img, dep = fr.render(params, o, d, self.grid.bitfield, dgrid, bg)
