@@ -81,6 +81,34 @@ def main():
         print(f"binned fwd+bwd ({name}):  {t*1e3:8.2f} ms  "
               f"({M/t/1e6:.1f} M samples/s)")
 
+    # --- swap_select orientation A/B (TNGP_WIN_SWAP candidate default) ------
+    for swap in (False, True):
+        @jax.jit
+        def fwd_sw(x, salt):
+            xs = (x + salt * 1e-6) % 1.0
+            out = window_encode_binned(xs, wtab, wspec, 512, False, False, swap)
+            return out, salt + 1.0
+
+        t = timeit(fwd_sw, x, jnp.float32(0.0))
+        print(f"binned fwd bf16 swap={int(swap)}: {t*1e3:8.2f} ms  "
+              f"({M/t/1e6:.1f} M samples/s)")
+
+        @jax.jit
+        def fb_sw(x, salt):
+            xs = (x + salt * 1e-6) % 1.0
+
+            def loss(tab):
+                out = window_encode_binned(xs, tab, wspec, 512, False, False,
+                                           swap)
+                return jnp.sum(out * (xs[0] + salt)[None, :])
+
+            l, g = jax.value_and_grad(loss)(wtab)
+            return l + g.sum(), salt + 1.0
+
+        t = timeit(fb_sw, x, jnp.float32(0.0))
+        print(f"binned f+b bf16 swap={int(swap)}: {t*1e3:8.2f} ms  "
+              f"({M/t/1e6:.1f} M samples/s)")
+
     # --- golden (round-1) encoder for comparison ----------------------------
     @jax.jit
     def gfwd_step(x, salt):

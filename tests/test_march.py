@@ -427,6 +427,65 @@ def test_march_chunked_matches_stream_compaction():
             np.asarray(ck.ray_mask), np.asarray(rm_ref))
 
 
+def test_march_chunked_ladder_window_chains_to_full():
+    """ladder_steps < max_steps is a WINDOW: two chained window marches
+    (second resuming from the first's resume_t) select exactly the valid
+    rungs a single full-ladder march selects, with identical flat
+    (ray*S + rung) encodings — the eval residual rounds' cheap-march mode."""
+    from tngp.ops import march_rays_chunked
+
+    rng = np.random.default_rng(11)
+    N, S, G = 32, 128, 16
+    kw = dict(bound=1.0, cascades=1, grid_size=32, dt_gamma=0.0, max_steps=S)
+    o = jnp.asarray(np.array([0, 0, -2.0]) + rng.normal(0, 0.1, (N, 3)),
+                    jnp.float32)
+    d = np.asarray(rng.uniform(-0.4, 0.4, (N, 3))) - np.asarray(o)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    occ = jnp.asarray(rng.uniform(size=(32**3,)) < 0.25, jnp.float32)
+    bf = packbits(occ, 0.5)
+    nears = jnp.full((N,), 0.05)
+    fars = jnp.full((N,), 4.0)
+    M = N * S  # unconstrained budget: selection = every valid rung
+
+    full = march_rays_chunked(o, d, nears, fars, bf, M_budget=M, G=G, **kw)
+    m_full = int(full.m_eff)
+    sel_full = set(np.asarray(full.sel[:m_full]).tolist())
+
+    w1 = march_rays_chunked(o, d, nears, fars, bf, M_budget=M, G=G,
+                            ladder_steps=S // 2, **kw)
+    # chain: resume each ray from the window end.  The second call's ladder
+    # re-originates at resume_t (round semantics), so flat encodings differ
+    # and its 128 rungs extend PAST the single full ladder's end — compare
+    # per-ray sorted t values inside the range both cover.
+    w2 = march_rays_chunked(o, d, w1.resume_t, fars, bf, M_budget=M, G=G,
+                            **kw)
+    m1, m2 = int(w1.m_eff), int(w2.m_eff)
+    sel_chain = set(np.asarray(w1.sel[:m1]).tolist())
+    from tngp.ops.march import SQRT3
+
+    dt_min = 2.0 * SQRT3 / S
+
+    def sel_ts(cm, m):
+        sel = np.asarray(cm.sel[:m])
+        ray, rung = sel // S, sel % S
+        t0 = np.asarray(cm.t0)[ray]
+        return ray, t0 + rung * dt_min
+
+    rf, tf = sel_ts(full, m_full)
+    r1, t1 = sel_ts(w1, m1)
+    r2, t2 = sel_ts(w2, m2)
+    rc = np.concatenate([r1, r2])
+    tc = np.concatenate([t1, t2])
+    t_end = np.asarray(full.t0) + (S - 1) * dt_min + 0.5 * dt_min  # per ray
+    for n in range(N):
+        a = np.sort(tf[rf == n])
+        b_ = np.sort(tc[(rc == n) & (tc < t_end[n] - dt_min)])
+        a = a[a < t_end[n] - dt_min]
+        assert len(a) == len(b_), (n, len(a), len(b_))
+        np.testing.assert_allclose(a, b_, atol=1e-4)
+    assert sel_chain <= sel_full  # window-1 rungs share the ladder origin
+
+
 def test_render_eval_chunked_matches_stream():
     """render_rays_eval with the chunked march equals the flat stream path:
     exactly under an ample eval budget, closely when residual rounds engage."""

@@ -500,7 +500,7 @@ class ChunkedMarch(NamedTuple):
     jax.jit,
     static_argnames=(
         "bound", "cascades", "grid_size", "dt_gamma", "max_steps",
-        "M_budget", "G", "chunk_budget",
+        "M_budget", "G", "chunk_budget", "ladder_steps",
     ),
 )
 def march_rays_chunked(
@@ -520,6 +520,7 @@ def march_rays_chunked(
     chunk_budget: int | None = None,
     noise: jax.Array | None = None,
     dilated_grid: jax.Array | None = None,
+    ladder_steps: int | None = None,
 ) -> ChunkedMarch:
     """Two-level march + compaction in one pass: probe G-rung chunk midpoints
     against the dilated full-resolution grid, then fine-probe ONLY candidate
@@ -534,12 +535,21 @@ def march_rays_chunked(
     valid samples in the first chunk_budget coarse-live chunks).  Chunks
     whose t-span exceeds the dilation coverage are forced live (the
     dt_gamma > 0 far field), preserving conservativeness for any ladder.
+
+    ladder_steps < max_steps considers only the first `ladder_steps` rungs
+    of the ladder this call (a WINDOW — dt stays set by max_steps, so the
+    sampling numerics are unchanged).  Rays whose remaining span exceeds the
+    window resume at its end (resume_t) and a later call continues — the
+    eval residual rounds' cheap-march mode: round coarse-probe cost drops to
+    N * ladder_steps / G for a round that only needs the next ~k samples.
     """
     N = rays_o.shape[0]
     S = max_steps
-    if S % G:
-        raise ValueError(f"max_steps {S} must be a multiple of chunk size {G}")
-    NCr = S // G
+    S_lad = S if ladder_steps is None else min(ladder_steps, S)
+    if S % G or S_lad % G:
+        raise ValueError(f"max_steps {S} / ladder_steps {S_lad} must be "
+                         f"multiples of chunk size {G}")
+    NCr = S_lad // G
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
     cell = 2.0 * bound / grid_size
@@ -628,7 +638,12 @@ def march_rays_chunked(
     m_eff = jnp.minimum(total, M_budget)
     (s2,) = jnp.nonzero(cand.reshape(-1), size=M_budget, fill_value=0)
     s2 = s2.astype(jnp.int32)
-    sel = jnp.take(csel, s2 // G) * G + (s2 % G)
+    # flat (ray*S + rung): csel is ray*NCr + chunk, and rungs are ladder-
+    # window-relative, so re-expand against the FULL ladder stride S (equal
+    # to csel*G + off only when ladder_steps == max_steps)
+    csel_s = jnp.take(csel, s2 // G)
+    ray_s = csel_s // NCr
+    sel = ray_s * S + (csel_s - ray_s * NCr) * G + (s2 % G)
     sel = jnp.minimum(sel, N * S - 1)
     want = jnp.arange(1, M_budget + 1, dtype=jnp.int32)
 
@@ -690,7 +705,7 @@ def march_rays_chunked(
         jnp.clip(t_sel_last * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else dt_min
     )
     t_after = jnp.where(taken > 0, t_sel_last + dt_sel, t0)
-    t_last = _t_ladder(t0, jnp.full((N, 1), S - 1, jnp.int32), dt_gamma, dt_min, dt_max)[:, 0]
+    t_last = _t_ladder(t0, jnp.full((N, 1), S_lad - 1, jnp.int32), dt_gamma, dt_min, dt_max)[:, 0]
     dt_last = jnp.clip(t_last * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else dt_min
     ladder_end = t_last + dt_last
     resume_t = jnp.minimum(jnp.where(has_drop, t_after, ladder_end), fars)

@@ -40,6 +40,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import near_far_from_aabb
 from .renderer import (
@@ -73,6 +74,22 @@ class FrameRenderer:
         # long tail, so default to the configured eval round width
         self.k_res = k_res or cfg.K_eval
         self.tiers = tuple(cfg.eval_tiers)
+        # eval march policy: probe granularity + residual-round ladder window
+        # (renderer.RenderConfig eval_march_chunk / eval_round_ladder — the
+        # round-5 eval wall was the coarse-ladder probe count, not the field)
+        self.G_eval = cfg.eval_march_chunk or cfg.march_chunk
+        if cfg.max_steps % self.G_eval:
+            self.G_eval = cfg.march_chunk
+        rl = cfg.eval_round_ladder or cfg.max_steps
+        self.round_ladder = rl if rl % self.G_eval == 0 else cfg.max_steps
+        from ..ops.march import build_dilated_cell_grid, chunk_dilate
+
+        self._dg = jax.jit(partial(
+            build_dilated_cell_grid, bound=cfg.bound, cascades=cfg.cascades,
+            grid_size=cfg.grid_size,
+            dilate=chunk_dilate(self.G_eval, cfg.max_steps, cfg.grid_size,
+                                cfg.bound),
+        ))
         self._first = jax.jit(self._first_pass)
         # donate the frame-state arrays (rays_t, ws, depth, image = args
         # 5..8 after the bound `na`): each round rewrites them in place
@@ -96,13 +113,57 @@ class FrameRenderer:
             for ti in range(len(self.tiers))
         }
         self._fin = jax.jit(self._finalize)
+        self._nearfar = jax.jit(lambda o, d: near_far_from_aabb(
+            o, d, cfg.aabb, cfg.min_near))
+        self._occ_bbox = jax.jit(self._occ_bbox_impl)
+        # per-chunk hit bitmap (sky-chunk skip): a chunk is skippable when
+        # none of its rays enters the tight bbox of OCCUPIED cells — rays
+        # can cross the scene AABB yet never touch an occupied cell (at
+        # 800^2 on a trained scene that's most of the frame border), and a
+        # sample is only ever selected inside an occupied cell.
+        self._chunk_hit = jax.jit(
+            lambda o, d, bbox, nc, ck: (
+                lambda nf, ff: (nf < ff).reshape(nc, ck).any(axis=1)
+            )(*near_far_from_aabb(o, d, bbox, cfg.min_near)),
+            static_argnums=(3, 4))
+
+    def _occ_bbox_impl(self, bitfield):
+        """World-space AABB of all occupied cells (+1-cell margin), cascade
+        union — [6] f32.  Empty bitfield degenerates to the scene AABB."""
+        cfg = self.cfg
+        H = cfg.grid_size
+        bits = (bitfield[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+        bits = bits.reshape(cfg.cascades, H, H, H) > 0
+        lo = jnp.full((3,), jnp.inf, jnp.float32)
+        hi = jnp.full((3,), -jnp.inf, jnp.float32)
+        idx = jnp.arange(H, dtype=jnp.float32)
+        for cas in range(cfg.cascades):
+            b_c = min(2.0 ** cas, float(cfg.bound))
+            cell = 2.0 * b_c / H
+            m = bits[cas]
+            any_ax = [m.any(axis=tuple(a for a in range(3) if a != d))
+                      for d in range(3)]
+            big = jnp.float32(H)
+            lo_i = jnp.stack([jnp.min(jnp.where(a, idx, big)) for a in any_ax])
+            hi_i = jnp.stack([jnp.max(jnp.where(a, idx, -1.0)) for a in any_ax])
+            has = any_ax[0].any() | any_ax[1].any() | any_ax[2].any()
+            lo_c = jnp.where(has, -b_c + (lo_i - 1.0) * cell, jnp.inf)
+            hi_c = jnp.where(has, -b_c + (hi_i + 2.0) * cell, -jnp.inf)
+            lo = jnp.minimum(lo, lo_c)
+            hi = jnp.maximum(hi, hi_c)
+        b = float(cfg.bound)
+        empty = ~jnp.isfinite(lo[0])
+        lo = jnp.where(empty, -b, jnp.clip(lo, -b, b))
+        hi = jnp.where(empty, b, jnp.clip(hi, -b, b))
+        return jnp.concatenate([lo, hi])
 
     # ---------------------------------------------------------------- stages
     def _first_pass(self, params, o, d, bitfield, dgrid):
         cfg = self.cfg
         nears, fars = near_far_from_aabb(o, d, cfg.aabb, cfg.min_near)
         rays_t, ws, depth, image = _eval_stream_pass(
-            self.field, params, o, d, nears, fars, bitfield, cfg, dgrid
+            self.field, params, o, d, nears, fars, bitfield, cfg, dgrid,
+            G=self.G_eval,
         )
         return rays_t, ws, depth, image, nears, fars
 
@@ -161,7 +222,8 @@ class FrameRenderer:
             o_a, d_a, t_a, f_a, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
-            M_budget=m_res, G=cfg.march_chunk, dilated_grid=dgrid,
+            M_budget=m_res, G=self.G_eval, dilated_grid=dgrid,
+            ladder_steps=self.round_ladder,
         )
         ws_c, dep_c, img_c = _bucketed_stream_query(
             self.field, params, cm.sel, cm.sel_valid, o_a, d_a, cm.t0, na, cfg
@@ -228,6 +290,11 @@ class FrameRenderer:
         import time
 
         dbg = os.environ.get("TNGP_FRAME_DEBUG", "0") == "1"
+        # the caller's dilated grid was built for cfg.march_chunk's dilation
+        # radius; the eval march granularity needs its own (built once per
+        # frame — a jitted 3-pool build, ~ms on chip)
+        if self.G_eval != self.cfg.march_chunk or dgrid is None:
+            dgrid = self._dg(bitfield)
         n = rays_o.shape[0]
         chunk = self.chunk
         # pad to a fixed 64K multiple (when the chunk divides it) so the
@@ -248,10 +315,25 @@ class FrameRenderer:
         o = jnp.concatenate([rays_o, o_pad])
         d_ = jnp.concatenate([rays_d, d_pad])
         t0 = time.time()
-        parts = [
-            self._first(params, o[s:s + chunk], d_[s:s + chunk], bitfield, dgrid)
-            for s in range(0, n + pad, chunk)
-        ]
+        # sky-chunk skip: a chunk none of whose rays hits the AABB needs no
+        # march/query at all — its first-pass state is analytic (rays_t =
+        # far = dead, zero radiance).  Row-ordered 800^2 chunks above/below
+        # the object's screen extent are ~40% of the frame; ONE tiny host
+        # sync (the per-chunk hit bitmap) buys skipping them entirely.
+        nf_f, ff_f = self._nearfar(o, d_)
+        nchunks = (n + pad) // chunk
+        hits = np.asarray(
+            self._chunk_hit(o, d_, self._occ_bbox(bitfield), nchunks, chunk))
+        parts = []
+        for ci, s in enumerate(range(0, n + pad, chunk)):
+            if hits[ci]:
+                parts.append(self._first(
+                    params, o[s:s + chunk], d_[s:s + chunk], bitfield, dgrid))
+            else:
+                z = jnp.zeros((chunk,), jnp.float32)
+                parts.append((ff_f[s:s + chunk], z, z,
+                              jnp.zeros((chunk, 3), jnp.float32),
+                              nf_f[s:s + chunk], ff_f[s:s + chunk]))
         rays_t, ws, depth, image, nears, fars = (
             jnp.concatenate([p[i] for p in parts]) for i in range(6)
         )

@@ -87,8 +87,27 @@ class RenderConfig:
     # residual round (reference semantics: n_step = max(min(N//n_alive, 8),
     # 1), nerf/renderer.py:392 — crowded rounds march shallow, the long
     # tail marches deep).
-    eval_tiers: tuple = (1024, 4096, 16384, 65536)
+    eval_tiers: tuple = (1024, 4096, 16384, 32768, 65536)
     eval_round_budget: int = 1 << 19
+    # eval march granularity: probe-chunk size G for the FrameRenderer's
+    # first pass and residual rounds.  The eval march wall is coarse-ladder
+    # probe count (N * max_steps / G gathers) + the [N * NCr] live-mask
+    # compaction, NOT occupancy work (round-5 stage profile: 35 ms of a
+    # 43 ms first-pass chunk at G=8, N=16384) — a larger G cuts both
+    # linearly, at the price of a wider dilation radius (more conservative
+    # live chunks; the chunk budget caps that cost and rays truncated by it
+    # just resume next round).  0 = use march_chunk.
+    eval_march_chunk: int = 16
+    # ladder window (rungs) a residual round considers from each ray's
+    # resume t — rounds need the next ~k samples, not the full remaining
+    # ladder; rays that exhaust the window resume at its end (march
+    # ladder_steps semantics).  0 = full max_steps.
+    eval_round_ladder: int = 256
+    # first-pass chunk budget as a multiple of M/G.  A larger eval G widens
+    # the dilation radius, so more (conservatively) live chunks compete for
+    # the chunk budget; 3.0 truncated ~2x more rays into residual rounds at
+    # G=32 than G=8 (round-5 sweep).  Fine-probe cost is mult * M gathers.
+    eval_cb_mult: float = 6.0
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":
@@ -362,7 +381,8 @@ def render_rays_train(
 
 
 def _eval_stream_pass(
-    field, params, rays_o, rays_d, nears, fars, bitfield, cfg, dgrid=None
+    field, params, rays_o, rays_d, nears, fars, bitfield, cfg, dgrid=None,
+    G=None,
 ):
     """First eval pass: dense march once, field-query the first M valid
     samples globally (ray-major), stream-composite.  Rays whose samples were
@@ -381,12 +401,14 @@ def _eval_stream_pass(
     N = rays_o.shape[0]
     S = cfg.max_steps
     M = min(N * S, max(128, -(-int(N * cfg.K * cfg.eval_budget) // 128) * 128))
-    if cfg.march_chunk > 0 and S % cfg.march_chunk == 0:
+    G = cfg.march_chunk if G is None else G
+    if cfg.march_chunk > 0 and S % G == 0:
+        cb = -(-int(cfg.eval_cb_mult * M) // G)
         cm = march_rays_chunked(
             rays_o, rays_d, nears, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
-            M_budget=M, G=cfg.march_chunk, dilated_grid=dgrid,
+            M_budget=M, G=G, dilated_grid=dgrid, chunk_budget=cb,
         )
         sel, sel_valid, t0, rays_t = cm.sel, cm.sel_valid, cm.t0, cm.resume_t
     else:
@@ -468,19 +490,29 @@ def _bucketed_stream_query(field, params, sel, sel_valid, rays_o, rays_d, t0,
         return z, z, jnp.zeros((n_rays, 3), jnp.float32)
 
     M_total = sel.shape[0]
-    Mq1 = max(128, (M_total // 4 // 128) * 128)
-    Mq2 = max(Mq1, (M_total // 2 // 128) * 128)
-    if Mq2 >= M_total:
+    # power-of-two bucket ladder down to M/16 (floored at 4096): image-
+    # ordered chunks are spatially coherent, so m_eff is bimodal — dense
+    # object chunks near M_total, sky-adjacent chunks tiny.  Each bucket is
+    # one compiled branch of the full query program; the 4096 floor bounds
+    # the branch count (lax.cond executes exactly one).
+    ladder = []
+    for div in (16, 8, 4, 2):
+        mq = max(128, (M_total // div // 128) * 128)
+        if mq >= M_total or (M_total // div) < 4096:
+            continue
+        if not ladder or mq > ladder[-1]:
+            ladder.append(mq)
+    if not ladder:
         return jax.lax.cond(m_eff == 0, empty, pass_with(M_total))
-    return jax.lax.cond(
-        m_eff == 0,
-        empty,
-        lambda: jax.lax.cond(
-            m_eff <= Mq1,
-            pass_with(Mq1),
-            lambda: jax.lax.cond(m_eff <= Mq2, pass_with(Mq2), pass_with(M_total)),
-        ),
-    )
+
+    def chain(i):
+        if i == len(ladder):
+            return pass_with(M_total)
+        return lambda: jax.lax.cond(
+            m_eff <= ladder[i], pass_with(ladder[i]), chain(i + 1)
+        )
+
+    return jax.lax.cond(m_eff == 0, empty, chain(0))
 
 
 def render_rays_eval(
