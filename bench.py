@@ -262,9 +262,16 @@ def main():
         R = 800
         s = R / float(H)
         intr800 = intr * jnp.asarray([s, s, s, s])
-        fr = FrameRenderer(field, cfg, chunk=int(os.environ.get(
+        # tuned eval policy (round-5 sweep, scripts/sweep_eval.py): a small
+        # first-pass budget is the early-termination knob — survivors go to
+        # the tier rounds, which kill them at alive-proportional cost
+        eval_cfg = dataclasses.replace(
+            cfg, eval_budget=0.125, eval_march_chunk=32, eval_round_ladder=256,
+            eval_cb_mult=6.0)
+        fr = FrameRenderer(field, eval_cfg, chunk=int(os.environ.get(
             "TNGP_BENCH_EVAL_CHUNK", "16384")))
-        test_poses = orbit_poses(3, radius=2.35, elevation=0.3)
+        fr.warmup(params, grid.bitfield, R * R)  # every tier program compiles
+        test_poses = orbit_poses(4, radius=2.35, elevation=0.3)
         o8, d8 = full_image_rays(jnp.asarray(test_poses[0]), intr800, R, R)
         img8, _ = fr.render(params, o8, d8, grid.bitfield, dgrid)
         np.asarray(img8)  # compile + warm

@@ -77,7 +77,10 @@ def main():
     R = args.res
     s = R / float(H)
     intr_r = jnp.asarray(np.asarray(intr) * np.array([s, s, s, s], np.float32))
-    test_poses = orbit_poses(args.frames + 1, radius=2.35, elevation=0.3)
+    # two warmup poses: different poses hit different alive-count tiers, and
+    # a tier program first compiled inside the timed section wrecks the
+    # timing (round-5 sweep3: one 52 s timed "frame")
+    test_poses = orbit_poses(args.frames + 2, radius=2.35, elevation=0.3)
     ray_sets = [full_image_rays(jnp.asarray(p), intr_r, R, R)
                 for p in test_poses]
 
@@ -105,14 +108,18 @@ def main():
                f"G={g} rladder={rl} cbm={cbm}")
         print(f"### {tag}", file=sys.stderr, flush=True)
         t0 = time.time()
-        o, d = ray_sets[0]
-        img, _ = fr.render(params, o, d, bitfield, dgrid)
-        np.asarray(img)
+        fr.warmup(params, bitfield, R * R)
+        print(f"#   tier warmup {time.time()-t0:.1f}s", file=sys.stderr,
+              flush=True)
+        t0 = time.time()
+        for o, d in ray_sets[:2]:
+            img, _ = fr.render(params, o, d, bitfield, dgrid)
+            np.asarray(img)
         print(f"#   warmup+compile {time.time()-t0:.1f}s "
               f"rounds={fr.last_rounds}", file=sys.stderr, flush=True)
         t0 = time.time()
         rounds = []
-        for o, d in ray_sets[1:]:
+        for o, d in ray_sets[2:]:
             img, _ = fr.render(params, o, d, bitfield, dgrid)
             np.asarray(img)
             rounds.append(fr.last_rounds)

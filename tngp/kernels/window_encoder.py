@@ -349,29 +349,41 @@ def _make_fwd_kernel(spec: WindowSpec, S: int, mxu_dtype, swap_select=False,
             hi, lo, w = _level_corner_geometry(spec, l, xyz, S, deriv=deriv)
             if swap_select:
                 # contract over LANES on the MXU (K=128, full array depth)
-                # and one-hot-reduce over the 64 hi rows — 33% less VPU
-                # select work than the hi-contract + 128-row reduce below
+                # and one-hot-reduce over the 64 hi rows — less VPU select
+                # work than the hi-contract + 128-row reduce below.  Both
+                # channels ride ONE matmul: the per-channel [128,64] windows
+                # concatenate to a [128, 64C] operand, so the systolic
+                # array's 128 output rows are fully used instead of half
+                # (round-5 fwd-kernel utilization fix).
                 Bt = jnp.where(srow == lo, w, 0.0).astype(mxu_dtype)  # [128, 8S]
                 selh = hrow == hi  # [64, 8S]
-            else:
-                At = jnp.where(hrow == hi, w, 0.0).astype(mxu_dtype)  # [64, 8S]
-                selm = srow == lo  # [128, 8S]
+                win2 = jnp.concatenate(
+                    [win_refs[l][0, c].astype(mxu_dtype) for c in range(C)],
+                    axis=1,
+                )  # [128, 64C]
+                g2 = jax.lax.dot_general(
+                    win2, Bt, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # [64C, 8S]
+                for c in range(C):
+                    g = g2[c * WIN_HI : (c + 1) * WIN_HI]  # 64-row sublane slice
+                    val = jnp.sum(jnp.where(selh, g, 0.0), axis=0, keepdims=True)
+                    out_c = val[:, 0:S]
+                    for k in range(1, 8):  # static lane slices (512-aligned)
+                        out_c = out_c + val[:, k * S : (k + 1) * S]
+                    rows.append(out_c)
+                continue
+            At = jnp.where(hrow == hi, w, 0.0).astype(mxu_dtype)  # [64, 8S]
+            selm = srow == lo  # [128, 8S]
             for c in range(C):
                 win_t = win_refs[l][0, c].astype(mxu_dtype)  # [128, 64]
                 # NOTE: Mosaic requires a 32-bit matmul accumulator
                 # (preferred_element_type=bf16 fails verification on-device
                 # while PASSING in interpret mode — do not retry)
-                if swap_select:
-                    g = jax.lax.dot_general(
-                        win_t, Bt, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=prec,
-                    )  # [64, 8S]
-                    val = jnp.sum(jnp.where(selh, g, 0.0), axis=0, keepdims=True)
-                else:
-                    g = jnp.dot(win_t, At, preferred_element_type=jnp.float32,
-                                precision=prec)
-                    # lane-select row lo via sublane one-hot reduce -> [1, 8S]
-                    val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
+                g = jnp.dot(win_t, At, preferred_element_type=jnp.float32,
+                            precision=prec)
+                # lane-select row lo via sublane one-hot reduce -> [1, 8S]
+                val = jnp.sum(jnp.where(selm, g, 0.0), axis=0, keepdims=True)
                 out_c = val[:, 0:S]
                 for k in range(1, 8):  # static lane slices (512-aligned)
                     out_c = out_c + val[:, k * S : (k + 1) * S]

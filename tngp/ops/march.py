@@ -500,7 +500,7 @@ class ChunkedMarch(NamedTuple):
     jax.jit,
     static_argnames=(
         "bound", "cascades", "grid_size", "dt_gamma", "max_steps",
-        "M_budget", "G", "chunk_budget", "ladder_steps",
+        "M_budget", "G", "chunk_budget", "ladder_steps", "ray_chunk_cap",
     ),
 )
 def march_rays_chunked(
@@ -521,6 +521,7 @@ def march_rays_chunked(
     noise: jax.Array | None = None,
     dilated_grid: jax.Array | None = None,
     ladder_steps: int | None = None,
+    ray_chunk_cap: int | None = None,
 ) -> ChunkedMarch:
     """Two-level march + compaction in one pass: probe G-rung chunk midpoints
     against the dilated full-resolution grid, then fine-probe ONLY candidate
@@ -601,6 +602,27 @@ def march_rays_chunked(
     live = live | (halfext > dilate * cell + 1e-6)
     live = live & (t_lo < fars[:, None])
 
+    # optional per-ray live-chunk cap (eval fast path): keep only each ray's
+    # first `ray_chunk_cap` live chunks so the GLOBAL chunk budget is spent
+    # fairly across rays instead of flooding on camera-near rays (a wide
+    # eval dilation makes many conservative-live chunks).  Rays that lose
+    # chunks to the cap are marked truncated -> resume_t stops at their last
+    # taken sample and a residual round continues them (exactness preserved).
+    if ray_chunk_cap is not None:
+        lrank = jnp.cumsum(live.astype(jnp.int32), axis=1)  # [N, NCr]
+        cap_cut = lrank[:, -1] > ray_chunk_cap  # [N]
+        # t at the start of each ray's FIRST cut chunk: a cap-cut ray whose
+        # considered chunks held zero valid rungs must resume HERE, not at
+        # t0 — a t0 resume would re-march identically forever (the pre-cap
+        # counts==0 no-progress case is fine because the global budget
+        # eventually covers it; the cap would not).
+        cut1 = live & (lrank == ray_chunk_cap + 1)  # [N, NCr]
+        j_cut = jnp.argmax(cut1, axis=1)  # first cut chunk (0 if none)
+        t_cut = jnp.take_along_axis(t_lo, j_cut[:, None], axis=1)[:, 0]
+        live = live & (lrank <= ray_chunk_cap)
+    else:
+        cap_cut = jnp.zeros((N,), bool)
+
     # ---- chunk selection (= hierarchical compaction stage 1) --------------
     if chunk_budget is None:
         chunk_budget = -(-3 * M_budget // G)
@@ -668,7 +690,8 @@ def march_rays_chunked(
     # a ray is loss-eligible iff the sample budget kept all its valid samples
     # AND the chunk budget considered all its live chunks (rays at/after a
     # chunk-budget cut are conservatively excluded)
-    truncated = (lo >= CB) & (n_live > CB)
+    g_trunc = (lo >= CB) & (n_live > CB)  # chunk budget cut this ray's range
+    truncated = g_trunc | cap_cut
     ray_mask = (cum_counts <= m_eff) & jnp.logical_not(truncated)
 
     # ---- eval resume: t just past each ray's LAST SELECTED sample ---------
@@ -709,6 +732,14 @@ def march_rays_chunked(
     dt_last = jnp.clip(t_last * dt_gamma, dt_min, dt_max) if dt_gamma > 0 else dt_min
     ladder_end = t_last + dt_last
     resume_t = jnp.minimum(jnp.where(has_drop, t_after, ladder_end), fars)
+    if ray_chunk_cap is not None:
+        # only when the ray's CAPPED chunk set was fully considered — a ray
+        # cut by the GLOBAL chunk budget has unprobed chunks BEFORE t_cut,
+        # and advancing past them would silently skip their samples (the
+        # round-5 capped-eval energy-loss bug); such rays keep the
+        # no-progress resume and a later round covers them.
+        no_take = cap_cut & (counts == 0) & jnp.logical_not(g_trunc)
+        resume_t = jnp.where(no_take, jnp.minimum(t_cut, fars), resume_t)
 
     return ChunkedMarch(
         sel=sel,

@@ -224,6 +224,7 @@ class FrameRenderer:
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
             M_budget=m_res, G=self.G_eval, dilated_grid=dgrid,
             ladder_steps=self.round_ladder,
+            ray_chunk_cap=cfg.eval_ray_chunk_cap or None,
         )
         ws_c, dep_c, img_c = _bucketed_stream_query(
             self.field, params, cm.sel, cm.sel_valid, o_a, d_a, cm.t0, na, cfg
@@ -277,6 +278,33 @@ class FrameRenderer:
         return image, depth
 
     # ------------------------------------------------------------------ drive
+    def warmup(self, params, bitfield, n_rays: int):
+        """Force-compile every tier-loop program (and the first pass) for a
+        frame of `n_rays` rays (pass the real frame size — tier programs are
+        shaped by the padded frame).  Which tiers a frame visits depends on
+        its alive-count trajectory, so without this a NEW POSE can hit a
+        never-compiled tier program mid-benchmark (round-5: a 16 s 'frame'
+        that was one tier compile).  cap=0 makes every loop exit after the
+        cond evaluation — compile cost only, ~no device work."""
+        cfg = self.cfg
+        chunk = self.chunk
+        quantum = (65536 if (n_rays >= 65536 and 65536 % chunk == 0)
+                   else chunk)
+        n = n_rays + ((-n_rays) % quantum)
+        dgrid = self._dg(bitfield)
+        o = jnp.tile(jnp.asarray([[0.0, 0.0, 3.0 * cfg.bound]], jnp.float32),
+                     (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        self._first(params, o[: self.chunk], d[: self.chunk], bitfield, dgrid)
+        z = jnp.zeros((n,), jnp.float32)
+        img = jnp.zeros((n, 3), jnp.float32)
+        ff = jnp.full((n,), 1e10, jnp.float32)
+        for ti in range(len(self.tiers)):
+            _ = self._tier[ti](params, bitfield, dgrid, o, d,
+                               z, z + 0.0, z + 0.0, img, ff,
+                               jnp.int32(0), 0)
+        jax.block_until_ready(_)
+
     def render(self, params, rays_o, rays_d, bitfield, dgrid, bg_color=None,
                max_rounds: int = 64):
         """Render an arbitrary ray batch (a full frame, typically).
@@ -289,7 +317,12 @@ class FrameRenderer:
         import sys
         import time
 
-        dbg = os.environ.get("TNGP_FRAME_DEBUG", "0") == "1"
+        dbg_env = os.environ.get("TNGP_FRAME_DEBUG", "0")
+        dbg = dbg_env == "1"
+        # "2" = light telemetry: time the first pass and the tier loops with
+        # two extra device syncs, but keep the PRODUCTION tier-loop programs
+        # (full debug swaps in per-round programs, a different compile set)
+        dbg2 = dbg_env == "2"
         # the caller's dilated grid was built for cfg.march_chunk's dilation
         # radius; the eval march granularity needs its own (built once per
         # frame — a jitted 3-pool build, ~ms on chip)
@@ -337,10 +370,12 @@ class FrameRenderer:
         rays_t, ws, depth, image, nears, fars = (
             jnp.concatenate([p[i] for p in parts]) for i in range(6)
         )
-        if dbg:
+        if dbg or dbg2:
             jax.block_until_ready(rays_t)
-            print(f"#   first pass ({(n+pad)//chunk} chunks): "
-                  f"{time.time()-t0:.2f}s", file=sys.stderr, flush=True)
+            print(f"#   first pass ({int(hits.sum())}/{nchunks} chunks "
+                  f"marched): {time.time()-t0:.2f}s", file=sys.stderr,
+                  flush=True)
+            t0 = time.time()
 
         self.last_rounds = 0  # telemetry: rounds this frame took
         if dbg:
@@ -375,6 +410,10 @@ class FrameRenderer:
                 )
                 self.last_rounds += int(it)
                 n_alive = int(alive_dev)
+            if dbg2:
+                jax.block_until_ready(rays_t)
+                print(f"#   tier loops ({self.last_rounds} rounds): "
+                      f"{time.time()-t0:.2f}s", file=sys.stderr, flush=True)
 
         bg = jnp.ones((), jnp.float32) if bg_color is None else bg_color
         image, depth = self._fin(params, o, d_, ws, depth, image, nears, fars, bg)

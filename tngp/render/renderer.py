@@ -108,6 +108,11 @@ class RenderConfig:
     # the chunk budget; 3.0 truncated ~2x more rays into residual rounds at
     # G=32 than G=8 (round-5 sweep).  Fine-probe cost is mult * M gathers.
     eval_cb_mult: float = 6.0
+    # per-ray live-chunk cap for the eval march (march ray_chunk_cap): each
+    # ray keeps only its first P live chunks, spending the global chunk
+    # budget fairly instead of flooding on camera-near rays; capped rays
+    # resume in a residual round.  0 = uncapped.
+    eval_ray_chunk_cap: int = 8
 
     @staticmethod
     def from_bound(bound: float, **kw) -> "RenderConfig":
@@ -404,11 +409,13 @@ def _eval_stream_pass(
     G = cfg.march_chunk if G is None else G
     if cfg.march_chunk > 0 and S % G == 0:
         cb = -(-int(cfg.eval_cb_mult * M) // G)
+        cap = cfg.eval_ray_chunk_cap or None
         cm = march_rays_chunked(
             rays_o, rays_d, nears, fars, bitfield,
             bound=cfg.bound, cascades=cfg.cascades, grid_size=cfg.grid_size,
             dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
             M_budget=M, G=G, dilated_grid=dgrid, chunk_budget=cb,
+            ray_chunk_cap=cap,
         )
         sel, sel_valid, t0, rays_t = cm.sel, cm.sel_valid, cm.t0, cm.resume_t
     else:
