@@ -76,10 +76,12 @@ class WindowGridEncoder(nn.Module):
     # required when the encoder input is itself a network output, e.g.
     # D-NeRF's canonical encode at x+Δx (dnerf/network.py:123-165)
     input_grads: bool = False
-    # contract the one-hot matmuls over lanes (K=128) and reduce over the 64
-    # hi rows instead of the reverse — ~30% less VPU select work per level
-    # (see kernels/window_encoder.py); flag until measured on-device
-    swap_select: bool = False
+    # contract the one-hot matmuls over lanes (K=128), reduce over the 64 hi
+    # rows, and ride both channels on one [128,128]-operand matmul — on-chip
+    # fwd 13.88 -> 10.52 ms (-24%) at M=131072, and BIT-IDENTICAL to the
+    # hi-contract orientation on device (fwd AND grad max-abs-diff 0.0,
+    # round-5 parity run), so flipping is not a numerics-bearing change
+    swap_select: bool = True
 
     @property
     def output_dim(self) -> int:
@@ -197,8 +199,10 @@ def get_encoder(
 
         enc = WindowGridEncoder(
             spec=wspec,
-            # kernel-orientation A/B knob (see WindowGridEncoder.swap_select)
-            swap_select=os.environ.get("TNGP_WIN_SWAP", "0") == "1",
+            # kernel-orientation knob (see WindowGridEncoder.swap_select) —
+            # default ON after the round-5 device A/B (-24% fwd) + bit-exact
+            # parity; TNGP_WIN_SWAP=0 reverts to the hi-contract orientation
+            swap_select=os.environ.get("TNGP_WIN_SWAP", "1") == "1",
             # true-f32 MXU passes (Precision.HIGHEST, 3.5-4x slower) — the
             # bf16-vs-f32 training-quality A/B knob (PERF.md round 2c)
             mxu_f32=bool(kwargs.get("mxu_f32", False))

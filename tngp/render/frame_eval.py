@@ -296,12 +296,16 @@ class FrameRenderer:
                      (n, 1))
         d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
         self._first(params, o[: self.chunk], d[: self.chunk], bitfield, dgrid)
-        z = jnp.zeros((n,), jnp.float32)
-        img = jnp.zeros((n, 3), jnp.float32)
         ff = jnp.full((n,), 1e10, jnp.float32)
         for ti in range(len(self.tiers)):
+            # fresh state per tier: the tier programs DONATE their state
+            # args, so reusing one buffer across calls trips XLA's
+            # donated-buffer check (the round-5 bench InvalidArgument)
+            z = jnp.zeros((n,), jnp.float32)
+            img = jnp.zeros((n, 3), jnp.float32)
             _ = self._tier[ti](params, bitfield, dgrid, o, d,
-                               z, z + 0.0, z + 0.0, img, ff,
+                               z, jnp.zeros((n,), jnp.float32),
+                               jnp.zeros((n,), jnp.float32), img, ff,
                                jnp.int32(0), 0)
         jax.block_until_ready(_)
 
